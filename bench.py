@@ -1,0 +1,89 @@
+"""Benchmark: end-to-end TPU-engine decode throughput vs the measured
+single-threaded native CPU baseline.
+
+Protocol (BASELINE.md): the reference publishes no absolute numbers and
+its Zig toolchain is unavailable, so the CPU baseline is this repo's own
+single-threaded C++ scalar decoder (zfi_decode_cpu — structurally the
+reference's decode loop, compiled -O3 -march=native). The engine number
+is the full production path: native index -> batched XLA reconstruction
+on the default accelerator -> assembly -> MD5 verify.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+STREAM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 1 << 20))
+BLOCK_SIZE = 4096
+REPS = int(os.environ.get("BENCH_REPS", 5))
+
+
+def get_stream() -> bytes:
+    """Benchmark stream (BASELINE.json config 2: full subframe mix,
+    16-bit/44.1kHz stereo), generated once and cached."""
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"bench_{STREAM_SAMPLES}_{BLOCK_SIZE}.flac")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return f.read()
+    from zflac_tpu.encoder import EncoderConfig, encode
+    from zflac_tpu.testing import correlated_stereo
+    pcm = correlated_stereo(STREAM_SAMPLES, 16, seed=7)
+    data = encode(pcm, 44100, 16, EncoderConfig(block_size=BLOCK_SIZE))
+    with open(path, "wb") as f:
+        f.write(data)
+    return data
+
+
+def median_time(fn, reps=REPS):
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main():
+    data = get_stream()
+
+    import zflac_tpu
+    from zflac_tpu.index.native_indexer import (
+        decode_cpu_native,
+        native_available,
+    )
+
+    r = zflac_tpu.decode(data)  # warmup: compile + validate (MD5 on)
+    total = r.num_samples * r.channels
+
+    t_engine = median_time(lambda: zflac_tpu.decode(data))
+    engine_msps = total / t_engine / 1e6
+
+    if native_available():
+        # Baseline correctness cross-check, then timing.
+        base, meta = decode_cpu_native(data)
+        assert meta["frames"] == r.stats["frames"]
+        t_cpu = median_time(lambda: decode_cpu_native(data))
+        cpu_msps = total / t_cpu / 1e6
+        vs = engine_msps / cpu_msps
+    else:
+        vs = 0.0
+
+    print(json.dumps({
+        "metric": "decode_throughput",
+        "value": round(engine_msps, 2),
+        "unit": "Msamples/s",
+        "vs_baseline": round(vs, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -10,8 +10,17 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The axon TPU plugin ignores JAX_PLATFORMS; pin the default device to
+# CPU so the suite runs on the virtual 8-device CPU pool (fast compiles,
+# deterministic). Real-TPU coverage lives in tests/test_tpu_smoke.py.
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:
+    pass
 
 from zflac_tpu import format as fmt  # noqa: E402
 from zflac_tpu.testing import make_corpus  # noqa: E402

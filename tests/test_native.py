@@ -1,0 +1,62 @@
+"""Differential tests: native C++ indexer vs Python indexer — identical
+plans on every corpus stream, identical typed errors on faulty inputs."""
+
+import numpy as np
+import pytest
+
+from zflac_tpu.index.native_indexer import (
+    build_plan_native,
+    native_available,
+)
+from zflac_tpu.index.py_indexer import build_plan as build_plan_py
+from zflac_tpu.testing import make_corpus
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native indexer unavailable")
+
+_NAMES = sorted(make_corpus().keys())
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_native_plan_matches_python(name, corpus):
+    data, pcm, sr, bps = corpus[name]
+    p = build_plan_py(data)
+    n = build_plan_native(data)
+    assert n.info == p.info
+    assert (n.sample_rate, n.channels, n.bits_per_sample) == \
+        (p.sample_rate, p.channels, p.bits_per_sample)
+    assert n.total_samples == p.total_samples
+    for field in ("block_size", "channel_code", "pcm_start",
+                  "frame_byte_offset", "kind", "order", "wasted", "shift",
+                  "coeffs_rev", "fixed_seeds", "wide", "rows"):
+        np.testing.assert_array_equal(
+            getattr(n, field), getattr(p, field), err_msg=field)
+    assert n.rows.dtype == p.rows.dtype
+
+
+@pytest.mark.parametrize("name", _NAMES[::3])
+def test_native_crc(name, corpus):
+    data, *_ = corpus[name]
+    build_plan_native(data, check_crc=True)
+
+
+def test_native_errors(corpus):
+    data, *_ = corpus[sorted(corpus)[0]]
+    cases = [
+        (b"XLaC" + data[4:],),
+        (data[: len(data) // 2],),
+        (data[:4] + bytes([0x80 | 99]) + data[5:],),
+        (b"",),
+    ]
+    for (bad,) in cases:
+        try:
+            build_plan_py(bad)
+            py_exc = None
+        except Exception as e:
+            py_exc = type(e)
+        try:
+            build_plan_native(bad)
+            nat_exc = None
+        except Exception as e:
+            nat_exc = type(e)
+        assert py_exc == nat_exc, (py_exc, nat_exc)

@@ -1,0 +1,173 @@
+"""Command-line interface: decode / inspect / verify FLAC streams.
+
+The analog of the reference's example app (zaudio playback,
+/root/reference/examples/example.zig) for a headless TPU host: decode to
+WAV or raw PCM, print stream structure (the frame table doubles as a
+seek table), and verify integrity.
+
+Usage:
+  zflac-tpu decode  in.flac [-o out.wav] [--raw] [--engine xla|cpu|oracle]
+  zflac-tpu inspect in.flac [--frames N]
+  zflac-tpu verify  in.flac [--crc]
+  zflac-tpu bench   in.flac [--reps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import struct
+import sys
+import time
+
+
+def _write_wav(path: str, interleaved, channels: int, sample_rate: int,
+               bits: int) -> None:
+    """Minimal RIFF/WAVE writer (PCM 16/32-bit, or 8-bit unsigned)."""
+    import numpy as np
+    if bits == 8:
+        payload = (interleaved.astype(np.int16) + 128).astype(
+            np.uint8).tobytes()
+        bytes_per = 1
+    else:
+        payload = interleaved.tobytes()
+        bytes_per = interleaved.dtype.itemsize
+    with open(path, "wb") as f:
+        byterate = sample_rate * channels * bytes_per
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(payload)))
+        f.write(b"WAVEfmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                            byterate, channels * bytes_per, 8 * bytes_per))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(payload)))
+        f.write(payload)
+
+
+def cmd_decode(args) -> int:
+    import zflac_tpu
+    with open(args.input, "rb") as f:
+        data = f.read()
+    t0 = time.perf_counter()
+    if args.engine == "oracle":
+        r = zflac_tpu.decode_oracle(data, check_crc=args.crc)
+    elif args.engine == "cpu":
+        from zflac_tpu.index.native_indexer import decode_cpu_native
+        from zflac_tpu import format as fmt
+        from zflac_tpu.result import DecodedFLAC
+        arr, meta = decode_cpu_native(data)
+        shift = fmt.normalization_shift(meta["si_bits_per_sample"])
+        r = DecodedFLAC(meta["channels"], meta["sample_rate"],
+                        meta["bits_per_sample"], arr << shift)
+    else:
+        r = zflac_tpu.decode(data, check_crc=args.crc)
+    dt = time.perf_counter() - t0
+    print(f"{r.num_samples} samples x {r.channels} ch, "
+          f"{r.sample_rate} Hz, {r.bits_per_sample} bps "
+          f"({dt * 1e3:.1f} ms, "
+          f"{r.num_samples * r.channels / dt / 1e6:.1f} Msamples/s)")
+    if args.output:
+        if args.raw:
+            with open(args.output, "wb") as f:
+                f.write(r.interleaved.tobytes())
+        else:
+            _write_wav(args.output, r.interleaved, r.channels,
+                       r.sample_rate, r.bits_per_sample)
+        print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    from zflac_tpu.index import build_plan
+    with open(args.input, "rb") as f:
+        data = f.read()
+    plan = build_plan(data)
+    si = plan.info
+    print(f"streaminfo: {si.channel_count} ch, {si.sample_rate} Hz, "
+          f"{si.bits_per_sample} bps, {si.total_samples} samples, "
+          f"block {si.min_block_size}..{si.max_block_size}, "
+          f"md5 {si.md5.hex()}")
+    kinds = {0: "constant", 1: "verbatim", 2: "fixed", 3: "lpc"}
+    import numpy as np
+    hist = {kinds[k]: int(np.sum(plan.kind == k)) for k in kinds}
+    print(f"{plan.num_frames} frames, {plan.num_subframes} subframes "
+          f"{hist}, max block {plan.max_block}")
+    n = min(args.frames, plan.num_frames)
+    for f_ in range(n):
+        c0 = f_ * plan.channels
+        descr = ",".join(
+            f"{kinds[int(plan.kind[c0 + c])]}"
+            f"(o{int(plan.order[c0 + c])})"
+            for c in range(plan.channels))
+        print(f"  frame {f_}: byte {int(plan.frame_byte_offset[f_])}, "
+              f"bs {int(plan.block_size[f_])}, "
+              f"chmode {int(plan.channel_code[f_])}, [{descr}]")
+    return 0
+
+
+def cmd_verify(args) -> int:
+    import zflac_tpu
+    with open(args.input, "rb") as f:
+        data = f.read()
+    try:
+        zflac_tpu.decode(data, check_crc=args.crc, verify_md5=True)
+    except zflac_tpu.FlacError as e:
+        print(f"FAIL: {type(e).__name__}: {e}")
+        return 1
+    print("OK: MD5" + (" + CRC-8/16" if args.crc else "") + " verified")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import numpy as np
+    import zflac_tpu
+    with open(args.input, "rb") as f:
+        data = f.read()
+    r = zflac_tpu.decode(data)  # warmup/compile
+    total = r.num_samples * r.channels
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        zflac_tpu.decode(data)
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    print(json.dumps({"msamples_per_s": round(total / t / 1e6, 2),
+                      "median_ms": round(t * 1e3, 2),
+                      "frames": r.stats.get("frames")}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="zflac-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("decode", help="decode to WAV/raw PCM")
+    d.add_argument("input")
+    d.add_argument("-o", "--output")
+    d.add_argument("--raw", action="store_true")
+    d.add_argument("--crc", action="store_true")
+    d.add_argument("--engine", choices=("xla", "cpu", "oracle"),
+                   default="xla")
+    d.set_defaults(fn=cmd_decode)
+
+    i = sub.add_parser("inspect", help="print stream structure")
+    i.add_argument("input")
+    i.add_argument("--frames", type=int, default=8)
+    i.set_defaults(fn=cmd_inspect)
+
+    v = sub.add_parser("verify", help="verify MD5 (and CRCs with --crc)")
+    v.add_argument("input")
+    v.add_argument("--crc", action="store_true")
+    v.set_defaults(fn=cmd_verify)
+
+    b = sub.add_parser("bench", help="time repeated decodes")
+    b.add_argument("input")
+    b.add_argument("--reps", type=int, default=5)
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

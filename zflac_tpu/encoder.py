@@ -90,7 +90,7 @@ def _write_residuals(bw: BitWriter, residuals: list[int], block_size: int,
     (mirror of the decode path at zflac.zig:614-666)."""
     if cfg.partition_order is not None:
         po = cfg.partition_order
-        assert block_size % (1 << po) == 0 and (block_size >> po) > order
+        assert block_size % (1 << po) == 0 and (block_size >> po) >= order
     else:
         po = 0
         # Deepest order that divides the block and keeps partition 0

@@ -1,0 +1,835 @@
+// Native host frame indexer: the serial phase-1 bitstream scan of the
+// two-phase TPU decode (SURVEY.md §7).
+//
+// Walks a FLAC (RFC 9639) stream once and emits the dense decode plan
+// (same schema as plan.StreamPlan): warmup-seeded residual rows,
+// predictor descriptors, frame geometry. Semantics mirror the reference
+// decoder /root/reference/src/zflac.zig:217-666 (see py_indexer.py for
+// the executable spec this is differential-tested against), with CRC-8/
+// CRC-16 verification as an extension (the reference reads but never
+// checks them, zflac.zig:407-410, 548-551).
+//
+// Build: g++ -O3 -shared -fPIC -o libzflac_index.so indexer.cpp
+// C ABI, consumed from Python via ctypes (native_indexer.py).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---- error codes (must match native_indexer.py ERROR_MAP) ----
+enum ErrCode : int {
+  OK = 0,
+  E_INVALID_SIGNATURE = 1,
+  E_INVALID_METADATA_HEADER = 2,
+  E_MISSING_STREAMINFO = 3,
+  E_INVALID_FRAME_HEADER = 4,
+  E_INCONSISTENT_PARAMETERS = 5,
+  E_INVALID_SUBFRAME_HEADER = 6,
+  E_INVALID_RESIDUAL_CODING_METHOD = 7,
+  E_INVALID_CODED_NUMBER = 8,
+  E_INVALID_CHECKSUM = 9,
+  E_END_OF_STREAM = 10,
+  E_UNIMPLEMENTED = 11,
+};
+
+struct Thrown { int code; };
+static void fail(int code) { throw Thrown{code}; }
+
+// ---- MSB-first bit reader over an in-memory buffer ----
+// Same semantics as the reference's BitReader
+// (/root/reference/src/bit_reader.zig) addressed by absolute bit
+// position; 64-bit refill windows.
+struct BitReader {
+  const uint8_t* buf;
+  size_t len;       // bytes
+  uint64_t pos;     // absolute bit position
+
+  uint64_t nbits() const { return (uint64_t)len * 8; }
+
+  inline uint64_t peek_word(uint64_t bit) const {
+    // 64-bit big-endian window starting at byte bit/8; safe tail handling.
+    size_t byte = (size_t)(bit >> 3);
+    uint64_t w = 0;
+    if (byte + 8 <= len) {
+      std::memcpy(&w, buf + byte, 8);
+      w = __builtin_bswap64(w);
+    } else {
+      for (size_t i = 0; i < 8; i++) {
+        w = (w << 8) | (byte + i < len ? buf[byte + i] : 0);
+      }
+    }
+    return w << (bit & 7);
+  }
+
+  inline uint64_t read_bits(unsigned n) {  // n <= 57
+    if (pos + n > nbits()) fail(E_END_OF_STREAM);
+    uint64_t w = peek_word(pos);
+    pos += n;
+    return n ? (w >> (64 - n)) : 0;
+  }
+
+  inline int64_t read_signed(unsigned n) {
+    uint64_t v = read_bits(n);
+    uint64_t sign = 1ull << (n - 1);
+    return (int64_t)((v ^ sign)) - (int64_t)sign;
+  }
+
+  inline uint32_t read_unary() {
+    uint64_t count = 0;
+    for (;;) {
+      if (pos >= nbits()) fail(E_END_OF_STREAM);
+      uint64_t w = peek_word(pos);
+      if (w == 0) {
+        uint64_t avail = nbits() - pos;
+        uint64_t step = avail < 57 ? avail : 57;
+        if (step == 0) fail(E_END_OF_STREAM);
+        count += step;
+        pos += step;
+        if (pos >= nbits()) fail(E_END_OF_STREAM);
+        continue;
+      }
+      unsigned z = __builtin_clzll(w);
+      if (pos + z + 1 > nbits()) fail(E_END_OF_STREAM);
+      count += z;
+      pos += z + 1;
+      return (uint32_t)count;
+    }
+  }
+
+  inline void align_byte() { pos = (pos + 7) & ~7ull; }
+  inline size_t byte_pos() const { return (size_t)(pos >> 3); }
+  inline uint32_t read_u8() { return (uint32_t)read_bits(8); }
+  inline uint32_t read_u16() { return (uint32_t)read_bits(16); }
+  inline uint32_t read_u24() { return (uint32_t)read_bits(24); }
+  inline uint64_t read_u32() { return read_bits(32); }
+  inline void skip_bytes(uint64_t n) {
+    if (pos + n * 8 > nbits()) fail(E_END_OF_STREAM);
+    pos += n * 8;
+  }
+};
+
+// ---- CRC tables (poly 0x07 / 0x8005, init 0, MSB-first) ----
+struct CrcTables {
+  uint8_t crc8[256];
+  uint16_t crc16[256];
+  CrcTables() {
+    for (int b = 0; b < 256; b++) {
+      uint32_t c8 = (uint32_t)b;
+      for (int i = 0; i < 8; i++)
+        c8 = (c8 & 0x80) ? ((c8 << 1) ^ 0x07) : (c8 << 1);
+      crc8[b] = (uint8_t)c8;
+      uint32_t c16 = (uint32_t)b << 8;
+      for (int i = 0; i < 8; i++)
+        c16 = (c16 & 0x8000) ? ((c16 << 1) ^ 0x8005) : (c16 << 1);
+      crc16[b] = (uint16_t)c16;
+    }
+  }
+};
+static const CrcTables kCrc;
+
+static uint8_t crc8_range(const uint8_t* p, size_t n) {
+  uint8_t c = 0;
+  for (size_t i = 0; i < n; i++) c = kCrc.crc8[c ^ p[i]];
+  return c;
+}
+static uint16_t crc16_range(const uint8_t* p, size_t n) {
+  uint16_t c = 0;
+  for (size_t i = 0; i < n; i++)
+    c = (uint16_t)(kCrc.crc16[((c >> 8) ^ p[i]) & 0xFF] ^ (c << 8));
+  return c;
+}
+
+// ---- format tables (format.py mirrors) ----
+static const int32_t kSampleRateHz[16] = {
+    0, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
+    32000, 44100, 48000, 96000, -1, -2, -3, -4};
+
+static int channel_count(unsigned code) {
+  if (code <= 7) return (int)code + 1;
+  if (code <= 10) return 2;  // left-side / side-right / mid-side
+  return 0;
+}
+static int side_channel(unsigned code) {
+  if (code == 8 || code == 10) return 1;
+  if (code == 9) return 0;
+  return -1;
+}
+static int block_size_value(unsigned code) {
+  if (code == 1) return 192;
+  if (code >= 2 && code <= 5) return 144 << code;
+  if (code >= 8) return 1 << code;
+  return -1;  // reserved/uncommon
+}
+static const int kBitDepth[8] = {0, 8, 12, -1, 16, 20, 24, 32};
+
+struct SubMeta {
+  int32_t kind, order, wasted, shift;
+  int32_t coeffs[32];
+  int64_t seeds[4];
+  uint8_t wide;
+  uint64_t val_off;  // offset into value buffer
+  uint32_t count;    // == block_size
+};
+
+// Extended-UTF-8 coded number (zflac.zig:203-214).
+static uint64_t read_coded_number(BitReader& br) {
+  uint32_t first = br.read_u8();
+  unsigned byte_count = first == 0 ? 0 : (unsigned)__builtin_clz(
+      (uint32_t)((first ^ 0xFFu) << 24) | 1u);
+  if (first == 0xFF || byte_count == 1) fail(E_INVALID_CODED_NUMBER);
+  if (byte_count == 0) return first;
+  uint64_t v = first & (0x7Fu >> byte_count);
+  for (unsigned i = 0; i + 1 < byte_count; i++)
+    v = (v << 6) | (br.read_u8() & 0x3F);
+  return v;
+}
+
+template <typename V>
+static void decode_residuals(BitReader& br, std::vector<V>& vals,
+                             uint32_t block_size, uint32_t order) {
+  uint32_t coding = (uint32_t)br.read_bits(2);
+  if (coding >= 2) fail(E_INVALID_RESIDUAL_CODING_METHOD);
+  uint32_t po = (uint32_t)br.read_bits(4);
+  unsigned pbits = coding == 0 ? 4 : 5;
+  uint32_t escape = coding == 0 ? 0xF : 0x1F;
+
+  uint32_t parts = 1u << po;
+  for (uint32_t p = 0; p < parts; p++) {
+    uint32_t count = block_size >> po;
+    if (p == 0) {
+      if (count < order) fail(E_INVALID_FRAME_HEADER);
+      count -= order;
+    }
+    uint32_t k = (uint32_t)br.read_bits(pbits);
+    if (k == escape) {
+      uint32_t depth = (uint32_t)br.read_bits(5);
+      if (depth == 0) {
+        vals.insert(vals.end(), count, (V)0);
+      } else {
+        for (uint32_t i = 0; i < count; i++)
+          vals.push_back((V)br.read_signed(depth));
+      }
+    } else {
+      for (uint32_t i = 0; i < count; i++) {
+        uint64_t q = br.read_unary();
+        uint64_t rem = br.read_bits(k);
+        uint64_t zz = (q << k) + rem;
+        vals.push_back((V)((int64_t)(zz >> 1) ^ -(int64_t)(zz & 1)));
+      }
+    }
+  }
+}
+
+// ---- result plan (C ABI struct; field order matters for ctypes) ----
+struct Plan {
+  uint32_t min_block_size, max_block_size;
+  uint32_t min_frame_size, max_frame_size;
+  uint32_t si_sample_rate, si_channels, si_bits_per_sample;
+  uint64_t si_total_samples;
+  uint8_t md5[16];
+  uint32_t sample_rate, channels, bits_per_sample;
+  uint64_t num_frames, num_subframes, max_block, total_samples;
+  int32_t value_width;  // 4 or 8 bytes per rows/seeds element
+  int32_t _pad;
+  int32_t* f_block_size;
+  int32_t* f_channel_code;
+  int64_t* f_pcm_start;
+  int64_t* f_byte_offset;
+  void* rows;
+  int32_t* kind;
+  int32_t* order;
+  int32_t* wasted;
+  int32_t* shift;
+  int32_t* coeffs_rev;
+  void* seeds;
+  uint8_t* wide;
+};
+
+template <typename T>
+static T* alloc_copy(const std::vector<T>& v) {
+  T* p = (T*)std::malloc(v.size() * sizeof(T) + 1);
+  if (!p) fail(E_UNIMPLEMENTED);
+  if (!v.empty()) std::memcpy(p, v.data(), v.size() * sizeof(T));
+  return p;
+}
+
+template <typename V>
+static int index_stream_t(const uint8_t* data, size_t len, int check_crc,
+                          uint32_t si_bps, BitReader br, Plan* out,
+                          int64_t* err_pos) {
+  const uint32_t expected_channels = out->si_channels;
+  bool valid_total = out->si_total_samples > 0;
+  uint64_t total_count = expected_channels *
+      (valid_total ? out->si_total_samples : 4096);
+
+  bool first_frame = true;
+  uint32_t sample_rate = 0, channel_count_locked = 0, bits_per_sample = 0;
+  int bit_depth_code = -1;
+
+  std::vector<int32_t> f_bs, f_chcode;
+  std::vector<int64_t> f_pcm, f_byte;
+  std::vector<SubMeta> subs;
+  std::vector<V> vals;  // concatenated rows
+
+  uint64_t offset = 0, pcm_start = 0;
+  uint32_t max_block = 0;
+
+  for (;;) {
+    if (valid_total && offset >= total_count) break;
+    size_t frame_start = br.byte_pos();
+    if (br.pos + 32 > br.nbits()) {
+      if (valid_total) fail(E_END_OF_STREAM);
+      break;
+    }
+    uint64_t hdr = br.read_u32();
+    if ((hdr >> 17) != (0xFFF8u >> 1)) fail(E_INVALID_FRAME_HEADER);
+    unsigned bs_code = (hdr >> 12) & 0xF;
+    unsigned sr_code = (hdr >> 8) & 0xF;
+    unsigned ch_code = (hdr >> 4) & 0xF;
+    unsigned bd_code = (hdr >> 1) & 0x7;
+
+    read_coded_number(br);
+
+    uint32_t block_size;
+    if (bs_code == 0) {
+      fail(E_INVALID_FRAME_HEADER);
+      return 0;
+    } else if (bs_code == 6) {
+      block_size = br.read_u8() + 1;
+    } else if (bs_code == 7) {
+      uint32_t raw = br.read_u16();
+      if (raw == 0xFFFF) fail(E_INVALID_FRAME_HEADER);
+      block_size = raw + 1;
+    } else {
+      int v = block_size_value(bs_code);
+      if (v < 0) fail(E_INVALID_FRAME_HEADER);
+      block_size = (uint32_t)v;
+    }
+
+    uint32_t frame_sr;
+    int sr_entry = kSampleRateHz[sr_code];
+    if (sr_code == 0) frame_sr = out->si_sample_rate;
+    else if (sr_entry == -1) frame_sr = br.read_u8() * 1000;     // kHz
+    else if (sr_entry == -2) frame_sr = br.read_u16();           // Hz
+    else if (sr_entry == -3) frame_sr = br.read_u16() * 10;      // Hz/10
+    else if (sr_entry == -4) { fail(E_INVALID_FRAME_HEADER); return 0; }
+    else frame_sr = (uint32_t)sr_entry;
+
+    if (first_frame) {
+      sample_rate = frame_sr;
+      channel_count_locked = (uint32_t)channel_count(ch_code);
+      bit_depth_code = (int)bd_code;
+      if (bd_code == 0) bits_per_sample = si_bps;
+      else if (kBitDepth[bd_code] < 0) fail(E_INVALID_FRAME_HEADER);
+      else bits_per_sample = (uint32_t)kBitDepth[bd_code];
+      if (channel_count_locked != expected_channels)
+        fail(E_INCONSISTENT_PARAMETERS);
+      first_frame = false;
+    } else {
+      if (sample_rate != frame_sr ||
+          channel_count_locked != (uint32_t)channel_count(ch_code) ||
+          bit_depth_code != (int)bd_code)
+        fail(E_INCONSISTENT_PARAMETERS);
+    }
+
+    uint64_t expected_end = offset + (uint64_t)block_size *
+        channel_count_locked;
+    if (valid_total && expected_end > total_count) valid_total = false;
+    if (block_size == 1 && valid_total && expected_end < total_count)
+      fail(E_INVALID_FRAME_HEADER);
+
+    uint32_t header_crc = br.read_u8();
+    if (check_crc) {
+      if (crc8_range(data + frame_start, br.byte_pos() - 1 - frame_start)
+          != header_crc)
+        fail(E_INVALID_CHECKSUM);
+    }
+
+    int side = side_channel(ch_code);
+    for (uint32_t ch = 0; ch < channel_count_locked; ch++) {
+      if (br.read_bits(1) != 0) fail(E_INVALID_SUBFRAME_HEADER);
+      unsigned type_bits = (unsigned)br.read_bits(6);
+      unsigned wasted_flag = (unsigned)br.read_bits(1);
+      uint32_t wasted = wasted_flag ? br.read_unary() + 1 : 0;
+      uint32_t sub_bps = bits_per_sample + ((int)ch == side ? 1 : 0);
+
+      int kind, order;
+      if (type_bits == 0) { kind = 0; order = 0; }
+      else if (type_bits == 1) { kind = 1; order = 0; }
+      else if (type_bits >= 8 && type_bits <= 12) {
+        kind = 2; order = (int)type_bits - 8;
+      } else if (type_bits >= 32) {
+        kind = 3; order = (int)type_bits - 31;
+      } else {
+        fail(E_INVALID_SUBFRAME_HEADER);
+        return 0;
+      }
+      if (wasted >= sub_bps) fail(E_INVALID_SUBFRAME_HEADER);
+      uint32_t read_depth = sub_bps - wasted;
+
+      SubMeta sm{};
+      sm.kind = kind;
+      sm.order = order;
+      sm.wasted = (int32_t)wasted;
+      sm.shift = 0;
+      sm.wide = 0;
+      sm.val_off = vals.size();
+      sm.count = block_size;
+
+      if (kind == 0) {  // constant
+        vals.push_back((V)br.read_signed(read_depth));
+        vals.insert(vals.end(), block_size - 1, (V)0);
+      } else if (kind == 1) {  // verbatim
+        for (uint32_t i = 0; i < block_size; i++)
+          vals.push_back((V)br.read_signed(read_depth));
+      } else if (kind == 2) {  // fixed
+        if ((uint32_t)order > block_size) fail(E_INVALID_SUBFRAME_HEADER);
+        int64_t warm[4] = {0, 0, 0, 0};
+        for (int i = 0; i < order; i++) {
+          warm[i] = br.read_signed(read_depth);
+          vals.push_back((V)warm[i]);
+        }
+        decode_residuals<V>(br, vals, block_size, (uint32_t)order);
+        // Warm-up finite-difference seeds Delta^j s[j] (plan.py
+        // SEED_TRIANGLE).
+        static const int tri[4][4] = {
+            {1, 0, 0, 0}, {-1, 1, 0, 0}, {1, -2, 1, 0}, {-1, 3, -3, 1}};
+        for (int j = 0; j < order; j++) {
+          int64_t acc = 0;
+          for (int i = 0; i <= j; i++) acc += tri[j][i] * warm[i];
+          sm.seeds[j] = acc;
+        }
+      } else {  // LPC
+        if ((uint32_t)order > block_size) fail(E_INVALID_SUBFRAME_HEADER);
+        for (int i = 0; i < order; i++)
+          vals.push_back((V)br.read_signed(read_depth));
+        uint32_t precision = (uint32_t)br.read_bits(4) + 1;
+        sm.shift = (int32_t)br.read_bits(5);
+        for (int j = 0; j < order; j++)
+          sm.coeffs[31 - j] = (int32_t)br.read_signed(precision);
+        decode_residuals<V>(br, vals, block_size, (uint32_t)order);
+        // Mirror the reference: i32 accumulation for ≤16-bit streams
+        // (InterType, zflac.zig:314-319). safe_lpc re-routes on the
+        // Python side.
+        sm.wide = 0;
+        (void)precision;
+      }
+      // Zero-pad short rows (non-divisible partition layouts leave a
+      // tail; see oracle._decode_residuals).
+      uint64_t added = vals.size() - sm.val_off;
+      if (added < block_size)
+        vals.insert(vals.end(), block_size - added, (V)0);
+      subs.push_back(sm);
+    }
+
+    br.align_byte();
+    uint32_t frame_crc = br.read_u16();
+    if (check_crc) {
+      if (crc16_range(data + frame_start, br.byte_pos() - 2 - frame_start)
+          != frame_crc)
+        fail(E_INVALID_CHECKSUM);
+    }
+
+    f_bs.push_back((int32_t)block_size);
+    f_chcode.push_back((int32_t)ch_code);
+    f_pcm.push_back((int64_t)pcm_start);
+    f_byte.push_back((int64_t)frame_start);
+    offset = expected_end;
+    pcm_start += block_size;
+    if (block_size > max_block) max_block = block_size;
+  }
+
+  // ---- pack into the dense plan ----
+  uint64_t F = f_bs.size(), S = subs.size(), B = max_block;
+  out->sample_rate = sample_rate;
+  out->channels = channel_count_locked;
+  out->bits_per_sample = bits_per_sample;
+  out->num_frames = F;
+  out->num_subframes = S;
+  out->max_block = B;
+  out->total_samples = pcm_start;
+  out->value_width = (int32_t)sizeof(V);
+
+  out->f_block_size = alloc_copy(f_bs);
+  out->f_channel_code = alloc_copy(f_chcode);
+  out->f_pcm_start = alloc_copy(f_pcm);
+  out->f_byte_offset = alloc_copy(f_byte);
+
+  V* rows = (V*)std::calloc(S * B ? S * B : 1, sizeof(V));
+  int32_t* kind = (int32_t*)std::malloc((S + 1) * sizeof(int32_t));
+  int32_t* order = (int32_t*)std::malloc((S + 1) * sizeof(int32_t));
+  int32_t* wasted = (int32_t*)std::malloc((S + 1) * sizeof(int32_t));
+  int32_t* shift = (int32_t*)std::malloc((S + 1) * sizeof(int32_t));
+  int32_t* coeffs = (int32_t*)std::calloc(S * 32 ? S * 32 : 1,
+                                          sizeof(int32_t));
+  V* seeds = (V*)std::calloc(S * 4 ? S * 4 : 1, sizeof(V));
+  uint8_t* wide = (uint8_t*)std::malloc(S + 1);
+  if (!rows || !kind || !order || !wasted || !shift || !coeffs || !seeds ||
+      !wide)
+    fail(E_UNIMPLEMENTED);
+
+  for (uint64_t s = 0; s < S; s++) {
+    const SubMeta& sm = subs[s];
+    std::memcpy(rows + s * B, vals.data() + sm.val_off,
+                sm.count * sizeof(V));
+    kind[s] = sm.kind;
+    order[s] = sm.order;
+    wasted[s] = sm.wasted;
+    shift[s] = sm.shift;
+    std::memcpy(coeffs + s * 32, sm.coeffs, 32 * sizeof(int32_t));
+    for (int j = 0; j < 4; j++) seeds[s * 4 + j] = (V)sm.seeds[j];
+    wide[s] = sm.wide;
+  }
+  out->rows = rows;
+  out->kind = kind;
+  out->order = order;
+  out->wasted = wasted;
+  out->shift = shift;
+  out->coeffs_rev = coeffs;
+  out->seeds = seeds;
+  out->wide = wide;
+  (void)err_pos;
+  return OK;
+}
+
+// ---- full scalar CPU decoder ----
+// Single-threaded native decode (index + reconstruct + decorrelate in
+// one pass), structurally equivalent to the reference's decode_frames
+// (zflac.zig:312-602). Used as the measured CPU baseline for bench.py
+// (the reference's Zig toolchain is unavailable; BASELINE.md protocol)
+// and as a host fallback decode path.
+
+template <typename V, typename C>
+static int decode_cpu_t(const uint8_t* data, size_t len, BitReader br,
+                        Plan* out, void** out_samples) {
+  const uint32_t expected_channels = out->si_channels;
+  bool valid_total = out->si_total_samples > 0;
+  uint64_t total_count = expected_channels *
+      (valid_total ? out->si_total_samples : 4096);
+  uint32_t si_bps = out->si_bits_per_sample;
+
+  bool first_frame = true;
+  uint32_t sample_rate = 0, nch = 0, bits_per_sample = 0;
+  int bit_depth_code = -1;
+
+  std::vector<C> samples(total_count);
+  std::vector<V> work;
+  uint64_t offset = 0, pcm_start = 0, nframes = 0;
+
+  for (;;) {
+    if (valid_total && offset >= total_count) break;
+    if (br.pos + 32 > br.nbits()) {
+      if (valid_total) fail(E_END_OF_STREAM);
+      break;
+    }
+    uint64_t hdr = br.read_u32();
+    if ((hdr >> 17) != (0xFFF8u >> 1)) fail(E_INVALID_FRAME_HEADER);
+    unsigned bs_code = (hdr >> 12) & 0xF;
+    unsigned sr_code = (hdr >> 8) & 0xF;
+    unsigned ch_code = (hdr >> 4) & 0xF;
+    unsigned bd_code = (hdr >> 1) & 0x7;
+    read_coded_number(br);
+
+    uint32_t block_size;
+    if (bs_code == 0) fail(E_INVALID_FRAME_HEADER);
+    if (bs_code == 6) block_size = br.read_u8() + 1;
+    else if (bs_code == 7) {
+      uint32_t raw = br.read_u16();
+      if (raw == 0xFFFF) fail(E_INVALID_FRAME_HEADER);
+      block_size = raw + 1;
+    } else {
+      int v = block_size_value(bs_code);
+      if (v < 0) fail(E_INVALID_FRAME_HEADER);
+      block_size = (uint32_t)v;
+    }
+
+    uint32_t frame_sr;
+    int sr_entry = kSampleRateHz[sr_code];
+    if (sr_code == 0) frame_sr = out->si_sample_rate;
+    else if (sr_entry == -1) frame_sr = br.read_u8() * 1000;
+    else if (sr_entry == -2) frame_sr = br.read_u16();
+    else if (sr_entry == -3) frame_sr = br.read_u16() * 10;
+    else if (sr_entry == -4) { fail(E_INVALID_FRAME_HEADER); return 0; }
+    else frame_sr = (uint32_t)sr_entry;
+
+    if (first_frame) {
+      sample_rate = frame_sr;
+      nch = (uint32_t)channel_count(ch_code);
+      bit_depth_code = (int)bd_code;
+      if (bd_code == 0) bits_per_sample = si_bps;
+      else if (kBitDepth[bd_code] < 0) fail(E_INVALID_FRAME_HEADER);
+      else bits_per_sample = (uint32_t)kBitDepth[bd_code];
+      if (nch != expected_channels) fail(E_INCONSISTENT_PARAMETERS);
+      first_frame = false;
+    } else {
+      if (sample_rate != frame_sr ||
+          nch != (uint32_t)channel_count(ch_code) ||
+          bit_depth_code != (int)bd_code)
+        fail(E_INCONSISTENT_PARAMETERS);
+    }
+
+    uint64_t expected_end = offset + (uint64_t)block_size * nch;
+    if (expected_end > samples.size()) {
+      samples.resize(std::max(samples.size() * 2, (size_t)expected_end));
+      valid_total = false;
+    }
+    if (block_size == 1 && valid_total && expected_end < total_count)
+      fail(E_INVALID_FRAME_HEADER);
+    br.read_u8();  // header CRC (read, unchecked — zflac.zig:407)
+
+    int side = side_channel(ch_code);
+    work.resize(block_size);
+    // Side-channel values are kept at full width through decorrelation
+    // in a spill buffer (see oracle.py note on the reference's
+    // premature container cast).
+    std::vector<V> side_buf;
+    for (uint32_t ch = 0; ch < nch; ch++) {
+      if (br.read_bits(1) != 0) fail(E_INVALID_SUBFRAME_HEADER);
+      unsigned type_bits = (unsigned)br.read_bits(6);
+      unsigned wasted_flag = (unsigned)br.read_bits(1);
+      uint32_t wasted = wasted_flag ? br.read_unary() + 1 : 0;
+      uint32_t sub_bps = bits_per_sample + ((int)ch == side ? 1 : 0);
+      if (wasted >= sub_bps) fail(E_INVALID_SUBFRAME_HEADER);
+      uint32_t depth = sub_bps - wasted;
+
+      if (type_bits == 0) {  // constant
+        V v = (V)br.read_signed(depth);
+        for (uint32_t i = 0; i < block_size; i++) work[i] = v;
+      } else if (type_bits == 1) {  // verbatim
+        for (uint32_t i = 0; i < block_size; i++)
+          work[i] = (V)br.read_signed(depth);
+      } else if (type_bits >= 8 && type_bits <= 12) {  // fixed
+        uint32_t order = type_bits - 8;
+        if (order > block_size) fail(E_INVALID_SUBFRAME_HEADER);
+        for (uint32_t i = 0; i < order; i++)
+          work[i] = (V)br.read_signed(depth);
+        std::vector<V> res;
+        res.reserve(block_size);
+        decode_residuals<V>(br, res, block_size, order);
+        res.resize(block_size - order);
+        std::memcpy(work.data() + order, res.data(),
+                    res.size() * sizeof(V));
+        switch (order) {
+          case 0: break;
+          case 1:
+            for (uint32_t i = 1; i < block_size; i++)
+              work[i] += work[i - 1];
+            break;
+          case 2:
+            for (uint32_t i = 2; i < block_size; i++)
+              work[i] += 2 * work[i - 1] - work[i - 2];
+            break;
+          case 3:
+            for (uint32_t i = 3; i < block_size; i++)
+              work[i] += 3 * work[i - 1] - 3 * work[i - 2] + work[i - 3];
+            break;
+          case 4:
+            for (uint32_t i = 4; i < block_size; i++)
+              work[i] += 4 * work[i - 1] - 6 * work[i - 2] +
+                  4 * work[i - 3] - work[i - 4];
+            break;
+          default: fail(E_INVALID_SUBFRAME_HEADER);
+        }
+      } else if (type_bits >= 32) {  // LPC
+        uint32_t order = type_bits - 31;
+        if (order > block_size) fail(E_INVALID_SUBFRAME_HEADER);
+        for (uint32_t i = 0; i < order; i++)
+          work[i] = (V)br.read_signed(depth);
+        uint32_t precision = (uint32_t)br.read_bits(4) + 1;
+        uint32_t shift = (uint32_t)br.read_bits(5);
+        int64_t coef[32];
+        for (uint32_t j = 0; j < order; j++)
+          coef[j] = br.read_signed(precision);
+        std::vector<V> res;
+        res.reserve(block_size);
+        decode_residuals<V>(br, res, block_size, order);
+        res.resize(block_size - order);
+        std::memcpy(work.data() + order, res.data(),
+                    res.size() * sizeof(V));
+        for (uint32_t i = order; i < block_size; i++) {
+          int64_t pred = 0;
+          for (uint32_t j = 0; j < order; j++)
+            pred += coef[j] * (int64_t)work[i - 1 - j];
+          work[i] += (V)(pred >> shift);
+        }
+      } else {
+        fail(E_INVALID_SUBFRAME_HEADER);
+      }
+
+      // Interleave with wasted shift (zflac.zig:493-497).
+      C* dst = samples.data() + offset + ch;
+      if ((int)ch == side && nch == 2) {
+        side_buf.resize(block_size);
+        for (uint32_t i = 0; i < block_size; i++)
+          side_buf[i] = (V)(work[i] << wasted);
+      } else {
+        for (uint32_t i = 0; i < block_size; i++)
+          dst[nch * i] = (C)(work[i] << wasted);
+      }
+    }
+    br.align_byte();
+    br.read_u16();  // frame CRC (read, unchecked — zflac.zig:548)
+
+    // Stereo decorrelation (zflac.zig:553-578), side at full width.
+    C* fr = samples.data() + offset;
+    if (ch_code == 8) {  // left-side: R = L - S
+      for (uint32_t i = 0; i < block_size; i++)
+        fr[2 * i + 1] = (C)((V)fr[2 * i] - side_buf[i]);
+    } else if (ch_code == 9) {  // side-right: L = S + R
+      for (uint32_t i = 0; i < block_size; i++)
+        fr[2 * i] = (C)(side_buf[i] + (V)fr[2 * i + 1]);
+    } else if (ch_code == 10) {  // mid-side
+      for (uint32_t i = 0; i < block_size; i++) {
+        V mid = ((V)fr[2 * i] << 1) | (side_buf[i] & 1);
+        V s = side_buf[i];
+        fr[2 * i] = (C)((mid + s) >> 1);
+        fr[2 * i + 1] = (C)((mid - s) >> 1);
+      }
+    }
+
+    offset = expected_end;
+    pcm_start += block_size;
+    nframes++;
+  }
+
+  out->sample_rate = sample_rate;
+  out->channels = nch;
+  out->bits_per_sample = bits_per_sample;
+  out->num_frames = nframes;
+  out->total_samples = pcm_start;
+  out->value_width = (int32_t)sizeof(C);
+
+  C* result = (C*)std::malloc(offset * sizeof(C) + 1);
+  if (!result) fail(E_UNIMPLEMENTED);
+  std::memcpy(result, samples.data(), offset * sizeof(C));
+  *out_samples = result;
+  return OK;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full scalar decode. out_samples receives a malloc'd interleaved
+// container-width buffer (int8/int16/int32 by value_width); caller
+// frees with zfi_free_samples. Pre-normalization values (MD5 domain).
+int zfi_decode_cpu(const uint8_t* data, size_t len, Plan* out,
+                   void** out_samples) {
+  std::memset(out, 0, sizeof(Plan));
+  *out_samples = nullptr;
+  try {
+    BitReader br{data, len, 0};
+    if (br.read_u32() != 0x664C6143ull) fail(E_INVALID_SIGNATURE);
+    bool have_si = false;
+    for (;;) {
+      uint32_t hb = br.read_u8();
+      bool last = (hb & 0x80) != 0;
+      uint32_t btype = hb & 0x7F;
+      uint32_t blen = br.read_u24();
+      if (btype == 0) {
+        out->min_block_size = br.read_u16();
+        out->max_block_size = br.read_u16();
+        out->min_frame_size = br.read_u24();
+        out->max_frame_size = br.read_u24();
+        out->si_sample_rate = (uint32_t)br.read_bits(20);
+        out->si_channels = (uint32_t)br.read_bits(3) + 1;
+        out->si_bits_per_sample = (uint32_t)br.read_bits(5) + 1;
+        out->si_total_samples = br.read_bits(36);
+        for (int i = 0; i < 16; i++) out->md5[i] = (uint8_t)br.read_u8();
+        have_si = true;
+      } else if (btype <= 6) {
+        br.skip_bytes(blen);
+      } else {
+        fail(E_INVALID_METADATA_HEADER);
+      }
+      if (last) break;
+    }
+    if (!have_si) fail(E_MISSING_STREAMINFO);
+    uint32_t aligned = (out->si_bits_per_sample + 7) & ~7u;
+    if (aligned == 8)
+      return decode_cpu_t<int32_t, int8_t>(data, len, br, out,
+                                           out_samples);
+    if (aligned == 16)
+      return decode_cpu_t<int32_t, int16_t>(data, len, br, out,
+                                            out_samples);
+    return decode_cpu_t<int64_t, int32_t>(data, len, br, out,
+                                          out_samples);
+  } catch (const Thrown& t) {
+    return t.code;
+  } catch (...) {
+    return E_UNIMPLEMENTED;
+  }
+}
+
+void zfi_free_samples(void* p) { std::free(p); }
+
+
+int zfi_index(const uint8_t* data, size_t len, int check_crc, Plan* out,
+              int64_t* err_pos) {
+  std::memset(out, 0, sizeof(Plan));
+  try {
+    BitReader br{data, len, 0};
+    // ---- signature + metadata walk (zflac.zig:218-253) ----
+    if (br.read_u32() != 0x664C6143ull) fail(E_INVALID_SIGNATURE);
+    bool have_si = false;
+    for (;;) {
+      uint32_t hb = br.read_u8();
+      bool last = (hb & 0x80) != 0;
+      uint32_t btype = hb & 0x7F;
+      uint32_t blen = br.read_u24();
+      if (btype == 0) {
+        out->min_block_size = br.read_u16();
+        out->max_block_size = br.read_u16();
+        out->min_frame_size = br.read_u24();
+        out->max_frame_size = br.read_u24();
+        out->si_sample_rate = (uint32_t)br.read_bits(20);
+        out->si_channels = (uint32_t)br.read_bits(3) + 1;
+        out->si_bits_per_sample = (uint32_t)br.read_bits(5) + 1;
+        out->si_total_samples = br.read_bits(36);
+        for (int i = 0; i < 16; i++) out->md5[i] = (uint8_t)br.read_u8();
+        have_si = true;
+      } else if (btype <= 6) {
+        br.skip_bytes(blen);
+      } else {
+        fail(E_INVALID_METADATA_HEADER);
+      }
+      if (last) break;
+    }
+    if (!have_si) fail(E_MISSING_STREAMINFO);
+
+    uint32_t bps = out->si_bits_per_sample;
+    uint32_t aligned = (bps + 7) & ~7u;
+    if (aligned <= 16)
+      return index_stream_t<int32_t>(data, len, check_crc, bps, br, out,
+                                     err_pos);
+    return index_stream_t<int64_t>(data, len, check_crc, bps, br, out,
+                                   err_pos);
+  } catch (const Thrown& t) {
+    if (err_pos) *err_pos = 0;
+    return t.code;
+  } catch (...) {
+    return E_UNIMPLEMENTED;
+  }
+}
+
+void zfi_free(Plan* p) {
+  std::free(p->f_block_size);
+  std::free(p->f_channel_code);
+  std::free(p->f_pcm_start);
+  std::free(p->f_byte_offset);
+  std::free(p->rows);
+  std::free(p->kind);
+  std::free(p->order);
+  std::free(p->wasted);
+  std::free(p->shift);
+  std::free(p->coeffs_rev);
+  std::free(p->seeds);
+  std::free(p->wide);
+  std::memset(p, 0, sizeof(Plan));
+}
+
+}  // extern "C"

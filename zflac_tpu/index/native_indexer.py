@@ -1,0 +1,208 @@
+"""ctypes binding + on-demand build for the native C++ frame indexer
+(index/native/indexer.cpp). Produces the same StreamPlan as
+py_indexer.build_plan (differential-tested in tests/test_native.py)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from .. import errors as err
+from ..format import StreamInfo
+from ..plan import StreamPlan
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SRC = os.path.join(_NATIVE_DIR, "indexer.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libzflac_index.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+ERROR_MAP = {
+    1: err.InvalidSignature,
+    2: err.InvalidMetadataHeader,
+    3: err.MissingStreaminfo,
+    4: err.InvalidFrameHeader,
+    5: err.InconsistentParameters,
+    6: err.InvalidSubframeHeader,
+    7: err.InvalidResidualCodingMethod,
+    8: err.InvalidCodedNumber,
+    9: err.InvalidChecksum,
+    10: err.EndOfStream,
+    11: err.Unimplemented,
+}
+
+
+class _Plan(ctypes.Structure):
+    _fields_ = [
+        ("min_block_size", ctypes.c_uint32),
+        ("max_block_size", ctypes.c_uint32),
+        ("min_frame_size", ctypes.c_uint32),
+        ("max_frame_size", ctypes.c_uint32),
+        ("si_sample_rate", ctypes.c_uint32),
+        ("si_channels", ctypes.c_uint32),
+        ("si_bits_per_sample", ctypes.c_uint32),
+        ("si_total_samples", ctypes.c_uint64),
+        ("md5", ctypes.c_uint8 * 16),
+        ("sample_rate", ctypes.c_uint32),
+        ("channels", ctypes.c_uint32),
+        ("bits_per_sample", ctypes.c_uint32),
+        ("num_frames", ctypes.c_uint64),
+        ("num_subframes", ctypes.c_uint64),
+        ("max_block", ctypes.c_uint64),
+        ("total_samples", ctypes.c_uint64),
+        ("value_width", ctypes.c_int32),
+        ("_pad", ctypes.c_int32),
+        ("f_block_size", ctypes.POINTER(ctypes.c_int32)),
+        ("f_channel_code", ctypes.POINTER(ctypes.c_int32)),
+        ("f_pcm_start", ctypes.POINTER(ctypes.c_int64)),
+        ("f_byte_offset", ctypes.POINTER(ctypes.c_int64)),
+        ("rows", ctypes.c_void_p),
+        ("kind", ctypes.POINTER(ctypes.c_int32)),
+        ("order", ctypes.POINTER(ctypes.c_int32)),
+        ("wasted", ctypes.POINTER(ctypes.c_int32)),
+        ("shift", ctypes.POINTER(ctypes.c_int32)),
+        ("coeffs_rev", ctypes.POINTER(ctypes.c_int32)),
+        ("seeds", ctypes.c_void_p),
+        ("wide", ctypes.POINTER(ctypes.c_uint8)),
+    ]
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+           "-fPIC", "-o", _SO, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.zfi_index.restype = ctypes.c_int
+        lib.zfi_index.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(_Plan), ctypes.POINTER(ctypes.c_int64)]
+        lib.zfi_free.restype = None
+        lib.zfi_free.argtypes = [ctypes.POINTER(_Plan)]
+        lib.zfi_decode_cpu.restype = ctypes.c_int
+        lib.zfi_decode_cpu.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(_Plan),
+            ctypes.POINTER(ctypes.c_void_p)]
+        lib.zfi_free_samples.restype = None
+        lib.zfi_free_samples.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _as_array(ptr, shape, dtype):
+    if np.prod(shape) == 0:
+        return np.zeros(shape, dtype=dtype)
+    n = int(np.prod(shape))
+    buf = np.ctypeslib.as_array(
+        ctypes.cast(ptr, ctypes.POINTER(np.ctypeslib.as_ctypes_type(dtype))),
+        shape=(n,))
+    return buf.reshape(shape).copy()
+
+
+def build_plan_native(data: bytes, check_crc: bool = False) -> StreamPlan:
+    lib = _load()
+    assert lib is not None
+    plan = _Plan()
+    err_pos = ctypes.c_int64(0)
+    rc = lib.zfi_index(data, len(data), int(check_crc),
+                       ctypes.byref(plan), ctypes.byref(err_pos))
+    if rc != 0:
+        msg = "frame CRC mismatch" if rc == 9 else ""
+        raise ERROR_MAP.get(rc, err.Unimplemented)(msg)
+    try:
+        S = int(plan.num_subframes)
+        F = int(plan.num_frames)
+        B = int(plan.max_block)
+        vdtype = np.int32 if plan.value_width == 4 else np.int64
+        info = StreamInfo(
+            min_block_size=plan.min_block_size,
+            max_block_size=plan.max_block_size,
+            min_frame_size=plan.min_frame_size,
+            max_frame_size=plan.max_frame_size,
+            sample_rate=plan.si_sample_rate,
+            channel_count=plan.si_channels,
+            bits_per_sample=plan.si_bits_per_sample,
+            total_samples=plan.si_total_samples,
+            md5=bytes(bytearray(plan.md5)),
+        )
+        return StreamPlan(
+            info=info,
+            sample_rate=int(plan.sample_rate),
+            channels=int(plan.channels),
+            bits_per_sample=int(plan.bits_per_sample),
+            block_size=_as_array(plan.f_block_size, (F,), np.int32),
+            channel_code=_as_array(plan.f_channel_code, (F,), np.int32),
+            pcm_start=_as_array(plan.f_pcm_start, (F,), np.int64),
+            frame_byte_offset=_as_array(plan.f_byte_offset, (F,),
+                                        np.int64),
+            rows=_as_array(plan.rows, (S, B), vdtype),
+            kind=_as_array(plan.kind, (S,), np.int32),
+            order=_as_array(plan.order, (S,), np.int32),
+            wasted=_as_array(plan.wasted, (S,), np.int32),
+            shift=_as_array(plan.shift, (S,), np.int32),
+            coeffs_rev=_as_array(plan.coeffs_rev, (S, 32), np.int32),
+            fixed_seeds=_as_array(plan.seeds, (S, 4), vdtype),
+            wide=_as_array(plan.wide, (S,), np.uint8).astype(bool),
+            total_samples=int(plan.total_samples),
+            stats={"frames": F, "indexer": "native"},
+        )
+    finally:
+        lib.zfi_free(ctypes.byref(plan))
+
+
+def decode_cpu_native(data: bytes):
+    """Full single-threaded scalar decode in C++ (the measured CPU
+    baseline per BASELINE.md, and a host fallback path). Returns
+    (interleaved pre-normalization container samples, meta dict)."""
+    lib = _load()
+    assert lib is not None
+    plan = _Plan()
+    samples_ptr = ctypes.c_void_p()
+    rc = lib.zfi_decode_cpu(data, len(data), ctypes.byref(plan),
+                            ctypes.byref(samples_ptr))
+    if rc != 0:
+        raise ERROR_MAP.get(rc, err.Unimplemented)()
+    try:
+        n = int(plan.total_samples) * int(plan.channels)
+        dtype = {1: np.int8, 2: np.int16, 4: np.int32}[plan.value_width]
+        arr = _as_array(samples_ptr, (n,), dtype)
+        meta = {
+            "channels": int(plan.channels),
+            "sample_rate": int(plan.sample_rate),
+            "bits_per_sample": int(plan.bits_per_sample),
+            "si_bits_per_sample": int(plan.si_bits_per_sample),
+            "md5": bytes(bytearray(plan.md5)),
+            "frames": int(plan.num_frames),
+        }
+        return arr, meta
+    finally:
+        lib.zfi_free_samples(samples_ptr)

@@ -117,6 +117,10 @@ def _decode_residuals(br: BitReader, block_size: int, order: int) -> list[int]:
     for partition in range(num_partitions):
         count = block_size >> partition_order
         if partition == 0:
+            if count < order:
+                # Partition 0 cannot hold the warm-ups (the reference
+                # would underflow here, zflac.zig:626).
+                raise InvalidFrameHeader()
             count -= order
         rice_parameter = br.read_bits(param_bits)
         if rice_parameter == escape:
@@ -135,6 +139,9 @@ def _decode_residuals(br: BitReader, block_size: int, order: int) -> list[int]:
                 zz = (quotient << rice_parameter) + remainder
                 # Zigzag decode (zflac.zig:661).
                 residuals.append((zz >> 1) ^ -(zz & 1))
+    # Non-divisible block/partition combinations leave a zero tail
+    # (the reference leaves those samples uninitialized, zflac.zig:624).
+    residuals.extend([0] * (block_size - order - len(residuals)))
     return residuals
 
 
@@ -280,6 +287,8 @@ def decode(data: bytes, check_crc: bool = False,
                 raise InvalidSubframeHeader()
 
             read_depth = sub_bps - wasted
+            if read_depth <= 0:
+                raise InvalidSubframeHeader()
 
             if kind == fmt.SF_CONSTANT:
                 v = br.read_signed(read_depth) << wasted

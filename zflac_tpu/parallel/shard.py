@@ -1,0 +1,212 @@
+"""Frame-parallel sharded reconstruction via shard_map.
+
+FLAC frames are mutually independent once indexed (warm-ups, predictor
+state, and residuals are all in-frame — zflac.zig:340-581 carries no
+state across frames except the locked stream parameters), so the frame
+axis shards cleanly over a ('dp',) mesh: each device reconstructs its
+contiguous frame shard with the same batched kernels as the single-chip
+path, and the PCM output stays sharded for assembly (or is all-gathered
+when a replicated result is requested).
+
+Per-device class gather lists are host-built and padded to a common
+shape so the shard_map body is uniform across devices (SPMD).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import format as fmt
+from ..plan import StreamPlan
+from ..runtime.reconstruct import (
+    _fixed_integrate,
+    _lpc_scan,
+)
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def make_mesh(devices=None, axis: str = "dp") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _local_reconstruct(rows, kind, order, wasted, shift, coeffs, seeds,
+                       idx_const, idx_verb, idx_fixed, idx_lpc,
+                       idx_lpc_wide, channel_code, *, num_channels,
+                       container_bits):
+    """Per-device reconstruction body (runs under shard_map on each
+    device's frame shard). Mirrors runtime.reconstruct.reconstruct but
+    with positional padded class-index arrays."""
+    S, B = rows.shape
+    dtype = rows.dtype
+    signal = jnp.zeros((S, B), dtype=dtype)
+
+    vals = jnp.broadcast_to(rows[idx_const, 0:1], (idx_const.shape[0], B))
+    signal = signal.at[idx_const].set(vals, mode="drop")
+    signal = signal.at[idx_verb].set(rows[idx_verb], mode="drop")
+
+    out = _fixed_integrate(rows[idx_fixed], order[idx_fixed],
+                           seeds[idx_fixed])
+    signal = signal.at[idx_fixed].set(out, mode="drop")
+
+    out = _lpc_scan(rows[idx_lpc], coeffs[idx_lpc], shift[idx_lpc],
+                    order[idx_lpc])
+    signal = signal.at[idx_lpc].set(out, mode="drop")
+
+    out = _lpc_scan(rows[idx_lpc_wide].astype(jnp.int64),
+                    coeffs[idx_lpc_wide], shift[idx_lpc_wide],
+                    order[idx_lpc_wide])
+    signal = signal.at[idx_lpc_wide].set(out.astype(dtype), mode="drop")
+
+    signal = jnp.left_shift(signal, wasted.astype(dtype)[:, None])
+
+    F = S // num_channels
+    frames = signal.reshape(F, num_channels, B)
+    if num_channels == 2:
+        mode = channel_code[:, None]
+        c0, c1 = frames[:, 0], frames[:, 1]
+        mid = (c0 << 1) | (c1 & 1)
+        new0 = jnp.where(
+            mode == fmt.CH_SIDE_RIGHT, c0 + c1,
+            jnp.where(mode == fmt.CH_MID_SIDE, (mid + c1) >> 1, c0))
+        new1 = jnp.where(
+            mode == fmt.CH_LEFT_SIDE, c0 - c1,
+            jnp.where(mode == fmt.CH_MID_SIDE, (mid - c1) >> 1, c1))
+        frames = jnp.stack([new0, new1], axis=1)
+
+    pcm = frames.transpose(0, 2, 1)
+    cdtype = {8: jnp.int8, 16: jnp.int16, 32: jnp.int32}[container_bits]
+    # Tiny cross-device stat (exercises a real collective on the mesh and
+    # feeds decode stats): global count of decoded samples.
+    total = jax.lax.psum(jnp.sum(jnp.ones((F,), jnp.int32)) * B, "dp")
+    return pcm.astype(cdtype), total
+
+
+def _pad_pow2(n: int, lo: int = 1) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+def shard_plan(plan: StreamPlan, num_devices: int):
+    """Pad + split plan arrays into [n_dev, ...] leading-axis chunks with
+    uniform per-device class index lists. Returns (arrays dict, meta)."""
+    C = plan.channels
+    F = plan.num_frames
+    B = max(plan.max_block, 8)
+    F_loc = max(1, -(-F // num_devices))
+    Fp = F_loc * num_devices
+    Sp = Fp * C
+    S_loc = F_loc * C
+
+    dtype = plan.rows.dtype
+    rows = np.zeros((Sp, B), dtype=dtype)
+    rows[:plan.num_subframes, :plan.max_block] = plan.rows
+
+    def pad1(a, n, dt=None):
+        out = np.zeros(n, dtype=dt or a.dtype)
+        out[:len(a)] = a
+        return out
+
+    kind = pad1(plan.kind, Sp)
+    order = pad1(plan.order, Sp)
+    wasted = pad1(plan.wasted, Sp)
+    shift = pad1(plan.shift, Sp)
+    coeffs = np.zeros((Sp, 32), np.int32)
+    coeffs[:plan.num_subframes] = plan.coeffs_rev
+    seeds = np.zeros((Sp, 4), plan.fixed_seeds.dtype)
+    seeds[:plan.num_subframes] = plan.fixed_seeds
+    channel_code = pad1(plan.channel_code, Fp)
+    wide = pad1(plan.wide, Sp, np.bool_)
+
+    # Per-device local class lists, padded to the max size across
+    # devices (uniform SPMD shapes). OOB sentinel = S_loc.
+    kinds_split = kind.reshape(num_devices, S_loc)
+    wide_split = wide.reshape(num_devices, S_loc)
+    class_defs = {
+        "const": lambda k, w: k == 0,
+        "verbatim": lambda k, w: k == 1,
+        "fixed": lambda k, w: k == 2,
+        "lpc": lambda k, w: (k == 3) & ~w,
+        "lpc_wide": lambda k, w: (k == 3) & w,
+    }
+    class_idx = {}
+    for name, pred in class_defs.items():
+        locals_ = [np.nonzero(pred(kinds_split[d], wide_split[d]))[0]
+                   for d in range(num_devices)]
+        width = _pad_pow2(max((len(a) for a in locals_), default=1))
+        arr = np.full((num_devices, width), S_loc, dtype=np.int32)
+        for d, a in enumerate(locals_):
+            arr[d, :len(a)] = a
+        class_idx[name] = arr
+
+    arrays = dict(
+        rows=rows.reshape(num_devices, S_loc, B),
+        kind=kinds_split,
+        order=order.reshape(num_devices, S_loc),
+        wasted=wasted.reshape(num_devices, S_loc),
+        shift=shift.reshape(num_devices, S_loc),
+        coeffs=coeffs.reshape(num_devices, S_loc, 32),
+        seeds=seeds.reshape(num_devices, S_loc, 4),
+        idx_const=class_idx["const"],
+        idx_verb=class_idx["verbatim"],
+        idx_fixed=class_idx["fixed"],
+        idx_lpc=class_idx["lpc"],
+        idx_lpc_wide=class_idx["lpc_wide"],
+        channel_code=channel_code.reshape(num_devices, F_loc),
+    )
+    meta = dict(F=F, Fp=Fp, F_loc=F_loc, B=B, C=C)
+    return arrays, meta
+
+
+def reconstruct_sharded(plan: StreamPlan, mesh: Mesh):
+    """Decode-phase-2 across the mesh: returns host PCM [F, B, C]."""
+    num_devices = mesh.devices.size
+    arrays, meta = shard_plan(plan, num_devices)
+    C = meta["C"]
+
+    import functools
+
+    body = functools.partial(
+        _local_reconstruct,
+        num_channels=C,
+        container_bits=fmt.container_bits(plan.info.bits_per_sample))
+
+    spec = P("dp")
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=tuple(spec for _ in range(13)),
+        out_specs=(spec, P()),
+    )
+    jfn = jax.jit(fn)
+
+    def run():
+        # Device-put each chunked array with its sharding (leading axis
+        # dp); shard_map consumes the global array, split on axis 0.
+        sharded_inputs = []
+        for name in ("rows", "kind", "order", "wasted", "shift", "coeffs",
+                     "seeds", "idx_const", "idx_verb", "idx_fixed",
+                     "idx_lpc", "idx_lpc_wide", "channel_code"):
+            a = arrays[name]
+            flat = a.reshape(-1, *a.shape[2:])
+            sh = NamedSharding(mesh, P("dp", *([None] * (flat.ndim - 1))))
+            sharded_inputs.append(jax.device_put(flat, sh))
+        return jfn(*sharded_inputs)
+
+    if plan.rows.dtype == np.int64 or bool(np.any(plan.wide)):
+        # High-res path: scoped x64 (see runtime/__init__.py).
+        with jax.enable_x64(True):
+            pcm, total = run()
+    else:
+        pcm, total = run()
+    pcm = np.asarray(pcm)[:meta["F"]]
+    return pcm, int(total)
