@@ -67,10 +67,19 @@ def main():
     engine_msps = total / t_engine / 1e6
 
     if native_available():
-        # Baseline correctness cross-check, then timing.
-        base, meta = decode_cpu_native(data)
+        # Baseline correctness cross-check, then timing. The baseline
+        # includes the stream-MD5 verification the reference performs
+        # as part of decode (zflac.zig:267-280), like the engine does.
+        import hashlib
+
+        def baseline():
+            arr, meta = decode_cpu_native(data)
+            assert hashlib.md5(arr.tobytes()).digest() == meta["md5"]
+            return arr, meta
+
+        base, meta = baseline()
         assert meta["frames"] == r.stats["frames"]
-        t_cpu = median_time(lambda: decode_cpu_native(data))
+        t_cpu = median_time(baseline)
         cpu_msps = total / t_cpu / 1e6
         vs = engine_msps / cpu_msps
     else:

@@ -51,16 +51,9 @@ def cmd_decode(args) -> int:
     t0 = time.perf_counter()
     if args.engine == "oracle":
         r = zflac_tpu.decode_oracle(data, check_crc=args.crc)
-    elif args.engine == "cpu":
-        from zflac_tpu.index.native_indexer import decode_cpu_native
-        from zflac_tpu import format as fmt
-        from zflac_tpu.result import DecodedFLAC
-        arr, meta = decode_cpu_native(data)
-        shift = fmt.normalization_shift(meta["si_bits_per_sample"])
-        r = DecodedFLAC(meta["channels"], meta["sample_rate"],
-                        meta["bits_per_sample"], arr << shift)
     else:
-        r = zflac_tpu.decode(data, check_crc=args.crc)
+        r = zflac_tpu.decode(data, check_crc=args.crc,
+                             engine=args.engine)
     dt = time.perf_counter() - t0
     print(f"{r.num_samples} samples x {r.channels} ch, "
           f"{r.sample_rate} Hz, {r.bits_per_sample} bps "
@@ -146,8 +139,8 @@ def main(argv=None) -> int:
     d.add_argument("-o", "--output")
     d.add_argument("--raw", action="store_true")
     d.add_argument("--crc", action="store_true")
-    d.add_argument("--engine", choices=("xla", "cpu", "oracle"),
-                   default="xla")
+    d.add_argument("--engine", choices=("auto", "tpu", "native", "oracle"),
+                   default="auto")
     d.set_defaults(fn=cmd_decode)
 
     i = sub.add_parser("inspect", help="print stream structure")

@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -257,191 +258,493 @@ static T* alloc_copy(const std::vector<T>& v) {
   return p;
 }
 
+// ---- shared one-frame parser ----
+// Parses one complete frame (header + subframes + padding + CRC16) at
+// the reader position, appending to a Range. Stream-level checks
+// (consistency, bs==1 rule, growth/cut) belong to the drivers: the
+// sequential driver interleaves them via SeqCtx at the exact points the
+// reference does (zflac.zig:376-405); the parallel driver passes
+// ctx=null and re-validates after the merge.
+
+struct FrameInfo {
+  uint32_t block_size;
+  uint32_t frame_sr;
+  uint32_t ch_code;
+  uint32_t bd_code;
+  int64_t start_byte;
+};
+
+template <typename V>
+struct Range {
+  std::vector<FrameInfo> frames;
+  std::vector<SubMeta> subs;
+  std::vector<V> vals;
+};
+
+struct SeqCtx {
+  bool first = true;
+  bool valid_total = false;
+  uint64_t offset = 0, total_count = 0;
+  uint32_t expected_channels = 0;
+  uint32_t sample_rate = 0, locked_count = 0, bits_per_sample = 0;
+  int bd_code = -1;
+};
+
+template <typename V>
+static void parse_frame(BitReader& br, const uint8_t* data,
+                        uint32_t si_sample_rate, uint32_t si_bps,
+                        int check_crc8, int check_crc16, SeqCtx* ctx,
+                        Range<V>& out) {
+  size_t frame_start = br.byte_pos();
+  uint64_t hdr = br.read_u32();
+  if ((hdr >> 17) != (0xFFF8u >> 1)) fail(E_INVALID_FRAME_HEADER);
+  unsigned bs_code = (hdr >> 12) & 0xF;
+  unsigned sr_code = (hdr >> 8) & 0xF;
+  unsigned ch_code = (hdr >> 4) & 0xF;
+  unsigned bd_code = (hdr >> 1) & 0x7;
+
+  read_coded_number(br);
+
+  uint32_t block_size;
+  if (bs_code == 0) {
+    fail(E_INVALID_FRAME_HEADER);
+    return;
+  } else if (bs_code == 6) {
+    block_size = br.read_u8() + 1;
+  } else if (bs_code == 7) {
+    uint32_t raw = br.read_u16();
+    if (raw == 0xFFFF) fail(E_INVALID_FRAME_HEADER);
+    block_size = raw + 1;
+  } else {
+    int v = block_size_value(bs_code);
+    if (v < 0) fail(E_INVALID_FRAME_HEADER);
+    block_size = (uint32_t)v;
+  }
+
+  uint32_t frame_sr;
+  int sr_entry = kSampleRateHz[sr_code];
+  if (sr_code == 0) frame_sr = si_sample_rate;
+  else if (sr_entry == -1) frame_sr = br.read_u8() * 1000;     // kHz
+  else if (sr_entry == -2) frame_sr = br.read_u16();           // Hz
+  else if (sr_entry == -3) frame_sr = br.read_u16() * 10;      // Hz/10
+  else if (sr_entry == -4) { fail(E_INVALID_FRAME_HEADER); return; }
+  else frame_sr = (uint32_t)sr_entry;
+
+  uint32_t nch = (uint32_t)channel_count(ch_code);
+  uint32_t bits_per_sample;
+  if (bd_code == 0) bits_per_sample = si_bps;
+  else if (kBitDepth[bd_code] < 0) {
+    // Reserved bit-depth code: sequential raises it only when locking
+    // the first frame (later frames compare codes first).
+    if (!ctx || ctx->first) fail(E_INVALID_FRAME_HEADER);
+    bits_per_sample = 0;
+  } else {
+    bits_per_sample = (uint32_t)kBitDepth[bd_code];
+  }
+
+  if (ctx) {
+    // Stream-consistency state machine (zflac.zig:376-405) at the
+    // exact sequential checkpoints.
+    if (ctx->first) {
+      ctx->sample_rate = frame_sr;
+      ctx->locked_count = nch;
+      ctx->bd_code = (int)bd_code;
+      ctx->bits_per_sample = bits_per_sample;
+      if (nch != ctx->expected_channels) fail(E_INCONSISTENT_PARAMETERS);
+      ctx->first = false;
+    } else {
+      if (ctx->sample_rate != frame_sr || ctx->locked_count != nch ||
+          ctx->bd_code != (int)bd_code)
+        fail(E_INCONSISTENT_PARAMETERS);
+    }
+    uint64_t expected_end =
+        ctx->offset + (uint64_t)block_size * ctx->locked_count;
+    if (ctx->valid_total && expected_end > ctx->total_count)
+      ctx->valid_total = false;
+    if (block_size == 1 && ctx->valid_total &&
+        expected_end < ctx->total_count)
+      fail(E_INVALID_FRAME_HEADER);
+    ctx->offset = expected_end;
+    bits_per_sample = ctx->bits_per_sample;
+    nch = ctx->locked_count;
+  }
+
+  uint32_t header_crc = br.read_u8();
+  if (check_crc8) {
+    if (crc8_range(data + frame_start, br.byte_pos() - 1 - frame_start)
+        != header_crc)
+      fail(E_INVALID_CHECKSUM);
+  }
+
+  int side = side_channel(ch_code);
+  for (uint32_t ch = 0; ch < nch; ch++) {
+    if (br.read_bits(1) != 0) fail(E_INVALID_SUBFRAME_HEADER);
+    unsigned type_bits = (unsigned)br.read_bits(6);
+    unsigned wasted_flag = (unsigned)br.read_bits(1);
+    uint32_t wasted = wasted_flag ? br.read_unary() + 1 : 0;
+    uint32_t sub_bps = bits_per_sample + ((int)ch == side ? 1 : 0);
+
+    int kind, order;
+    if (type_bits == 0) { kind = 0; order = 0; }
+    else if (type_bits == 1) { kind = 1; order = 0; }
+    else if (type_bits >= 8 && type_bits <= 12) {
+      kind = 2; order = (int)type_bits - 8;
+    } else if (type_bits >= 32) {
+      kind = 3; order = (int)type_bits - 31;
+    } else {
+      fail(E_INVALID_SUBFRAME_HEADER);
+      return;
+    }
+    if (wasted >= sub_bps) fail(E_INVALID_SUBFRAME_HEADER);
+    uint32_t read_depth = sub_bps - wasted;
+
+    SubMeta sm{};
+    sm.kind = kind;
+    sm.order = order;
+    sm.wasted = (int32_t)wasted;
+    sm.shift = 0;
+    sm.wide = 0;
+    sm.val_off = out.vals.size();
+    sm.count = block_size;
+    std::vector<V>& vals = out.vals;
+
+    if (kind == 0) {  // constant
+      vals.push_back((V)br.read_signed(read_depth));
+      vals.insert(vals.end(), block_size - 1, (V)0);
+    } else if (kind == 1) {  // verbatim
+      for (uint32_t i = 0; i < block_size; i++)
+        vals.push_back((V)br.read_signed(read_depth));
+    } else if (kind == 2) {  // fixed
+      if ((uint32_t)order > block_size) fail(E_INVALID_SUBFRAME_HEADER);
+      int64_t warm[4] = {0, 0, 0, 0};
+      for (int i = 0; i < order; i++) {
+        warm[i] = br.read_signed(read_depth);
+        vals.push_back((V)warm[i]);
+      }
+      decode_residuals<V>(br, vals, block_size, (uint32_t)order);
+      // Warm-up finite-difference seeds Delta^j s[j] (plan.py
+      // SEED_TRIANGLE).
+      static const int tri[4][4] = {
+          {1, 0, 0, 0}, {-1, 1, 0, 0}, {1, -2, 1, 0}, {-1, 3, -3, 1}};
+      for (int j = 0; j < order; j++) {
+        int64_t acc = 0;
+        for (int i = 0; i <= j; i++) acc += tri[j][i] * warm[i];
+        sm.seeds[j] = acc;
+      }
+    } else {  // LPC
+      if ((uint32_t)order > block_size) fail(E_INVALID_SUBFRAME_HEADER);
+      for (int i = 0; i < order; i++)
+        vals.push_back((V)br.read_signed(read_depth));
+      uint32_t precision = (uint32_t)br.read_bits(4) + 1;
+      sm.shift = (int32_t)br.read_bits(5);
+      for (int j = 0; j < order; j++)
+        sm.coeffs[31 - j] = (int32_t)br.read_signed(precision);
+      decode_residuals<V>(br, vals, block_size, (uint32_t)order);
+      // Mirror the reference: i32 accumulation for <=16-bit streams
+      // (InterType, zflac.zig:314-319); safe_lpc re-routes Python-side.
+      sm.wide = 0;
+      (void)precision;
+    }
+    // Zero-pad short rows (non-divisible partition layouts leave a
+    // tail; see oracle._decode_residuals).
+    uint64_t added = vals.size() - sm.val_off;
+    if (added < block_size)
+      vals.insert(vals.end(), block_size - added, (V)0);
+    out.subs.push_back(sm);
+  }
+
+  br.align_byte();
+  uint32_t frame_crc = br.read_u16();
+  if (check_crc16) {
+    if (crc16_range(data + frame_start, br.byte_pos() - 2 - frame_start)
+        != frame_crc)
+      fail(E_INVALID_CHECKSUM);
+  }
+
+  out.frames.push_back(FrameInfo{block_size, frame_sr, ch_code, bd_code,
+                                 (int64_t)frame_start});
+}
+
+// ---- sequential driver (exact reference semantics) ----
+
+template <typename V>
+static void seq_index(const uint8_t* data, size_t len, int check_crc,
+                      uint32_t si_bps, BitReader br, const Plan* si,
+                      Range<V>& out, SeqCtx& ctx) {
+  ctx = SeqCtx{};
+  ctx.valid_total = si->si_total_samples > 0;
+  ctx.expected_channels = si->si_channels;
+  ctx.total_count = ctx.expected_channels *
+      (ctx.valid_total ? si->si_total_samples : 4096);
+  out.vals.reserve(len);
+
+  for (;;) {
+    if (ctx.valid_total && ctx.offset >= ctx.total_count) break;
+    if (br.pos + 32 > br.nbits()) {
+      if (ctx.valid_total) fail(E_END_OF_STREAM);
+      break;
+    }
+    parse_frame<V>(br, data, si->si_sample_rate, si_bps, check_crc,
+                   check_crc, &ctx, out);
+  }
+}
+
+// ---- parallel driver: sync-scan anchors + range parse + fix-up ----
+// The frame-resync capability the reference lists as a TODO
+// (Readme.md:54): a frame start can be located mid-stream by scanning
+// for the 15-bit sync pattern and validating with a full frame parse
+// including the CRC-16. Used here to shard the serial phase-1 scan
+// across host threads; the same anchor search powers multi-host
+// byte-range sharding (parallel/longstream.py) and error recovery.
+
+template <typename V>
+static int64_t find_anchor(const uint8_t* data, size_t len, size_t from,
+                           size_t limit, uint32_t si_sample_rate,
+                           uint32_t si_bps) {
+  Range<V> scratch;
+  for (size_t i = from; i + 4 < limit; i++) {
+    if (data[i] != 0xFF || (data[i + 1] & 0xFE) != 0xF8) continue;
+    BitReader br{data, len, (uint64_t)i * 8};
+    scratch.frames.clear();
+    scratch.subs.clear();
+    scratch.vals.clear();
+    try {
+      // Full structural parse + CRC-16: definitive validation.
+      parse_frame<V>(br, data, si_sample_rate, si_bps, /*crc8=*/1,
+                     /*crc16=*/1, nullptr, scratch);
+    } catch (const Thrown&) {
+      continue;
+    }
+    return (int64_t)i;
+  }
+  return -1;
+}
+
+template <typename V>
+struct SegResult {
+  Range<V> range;
+  int64_t landed = -1;   // byte position after the last parsed frame
+  int err = OK;          // first error hit inside the segment
+};
+
+template <typename V>
+static bool parallel_index(const uint8_t* data, size_t len, int check_crc,
+                           uint32_t si_bps, size_t first_frame_byte,
+                           const Plan* si, Range<V>& out, int* seq_err) {
+  size_t span = len - first_frame_byte;
+  unsigned T = std::thread::hardware_concurrency();
+  if (T < 2 || span < (1u << 20)) return false;
+  if (T > 8) T = 8;
+
+  // Phase 1: anchors (parallel).
+  std::vector<int64_t> anchors(T, -1);
+  anchors[0] = (int64_t)first_frame_byte;
+  {
+    std::vector<std::thread> th;
+    for (unsigned t = 1; t < T; t++) {
+      size_t lo = first_frame_byte + span * t / T;
+      size_t hi = first_frame_byte + span * (t + 1) / T;
+      th.emplace_back([&, t, lo, hi] {
+        anchors[t] = find_anchor<V>(data, len, lo, hi, si->si_sample_rate,
+                                    si_bps);
+      });
+    }
+    for (auto& x : th) x.join();
+  }
+  std::vector<int64_t> starts;
+  for (unsigned t = 0; t < T; t++)
+    if (anchors[t] >= 0 && (starts.empty() || anchors[t] > starts.back()))
+      starts.push_back(anchors[t]);
+
+  // Phase 2: parse each segment (parallel).
+  std::vector<SegResult<V>> segs(starts.size());
+  {
+    std::vector<std::thread> th;
+    for (size_t s = 0; s < starts.size(); s++) {
+      int64_t lo = starts[s];
+      int64_t hi = s + 1 < starts.size() ? starts[s + 1] : (int64_t)len;
+      th.emplace_back([&, s, lo, hi] {
+        SegResult<V>& r = segs[s];
+        r.range.vals.reserve((size_t)(hi - lo));
+        BitReader br{data, len, (uint64_t)lo * 8};
+        try {
+          for (;;) {
+            if ((int64_t)br.byte_pos() >= hi) break;
+            if (br.pos + 32 > br.nbits()) break;
+            parse_frame<V>(br, data, si->si_sample_rate, si_bps,
+                           check_crc, check_crc, nullptr, r.range);
+          }
+          r.landed = (int64_t)br.byte_pos();
+        } catch (const Thrown& e) {
+          r.err = e.code;
+          r.landed = -1;
+        }
+      });
+    }
+    for (auto& x : th) x.join();
+  }
+
+  // Fix-up: each segment must land exactly on the next anchor. A
+  // mismatch (false anchor / mid-frame error) falls back to the exact
+  // sequential scan.
+  int trailing_err = OK;
+  for (size_t s = 0; s < segs.size(); s++) {
+    bool last = s + 1 == segs.size();
+    if (segs[s].err != OK) {
+      if (!last) return false;
+      trailing_err = segs[s].err;  // may be legal: resolved after merge
+    } else if (!last && segs[s].landed != starts[s + 1]) {
+      return false;
+    }
+  }
+
+  // Merge.
+  for (auto& seg : segs) {
+    uint64_t val_base = out.vals.size();
+    for (auto sm : seg.range.subs) {
+      sm.val_off += val_base;
+      out.subs.push_back(sm);
+    }
+    out.vals.insert(out.vals.end(), seg.range.vals.begin(),
+                    seg.range.vals.end());
+    out.frames.insert(out.frames.end(), seg.range.frames.begin(),
+                      seg.range.frames.end());
+  }
+
+  // Re-validate with exact sequential semantics over the merged frame
+  // list (consistency, bs==1, cut/truncation, EOF rules).
+  SeqCtx ctx{};
+  ctx.valid_total = si->si_total_samples > 0;
+  ctx.expected_channels = si->si_channels;
+  ctx.total_count = ctx.expected_channels *
+      (ctx.valid_total ? si->si_total_samples : 4096);
+  size_t cut = out.frames.size();
+  for (size_t i = 0; i < out.frames.size(); i++) {
+    const FrameInfo& f = out.frames[i];
+    if (ctx.valid_total && ctx.offset >= ctx.total_count) {
+      cut = i;  // sequential stops here; later bytes are ignored
+      trailing_err = OK;
+      break;
+    }
+    uint32_t nch = (uint32_t)channel_count(f.ch_code);
+    if (ctx.first) {
+      ctx.sample_rate = f.frame_sr;
+      ctx.locked_count = nch;
+      ctx.bd_code = (int)f.bd_code;
+      if (nch != ctx.expected_channels) {
+        *seq_err = E_INCONSISTENT_PARAMETERS;
+        return true;
+      }
+      ctx.first = false;
+    } else if (ctx.sample_rate != f.frame_sr ||
+               ctx.locked_count != nch ||
+               ctx.bd_code != (int)f.bd_code) {
+      *seq_err = E_INCONSISTENT_PARAMETERS;
+      return true;
+    }
+    uint64_t expected_end =
+        ctx.offset + (uint64_t)f.block_size * ctx.locked_count;
+    if (ctx.valid_total && expected_end > ctx.total_count)
+      ctx.valid_total = false;
+    if (f.block_size == 1 && ctx.valid_total &&
+        expected_end < ctx.total_count) {
+      *seq_err = E_INVALID_FRAME_HEADER;
+      return true;
+    }
+    ctx.offset = expected_end;
+  }
+  if (trailing_err != OK) {
+    // An in-segment error the sequential scan would also reach.
+    return false;
+  }
+  if (cut == out.frames.size() && ctx.valid_total &&
+      ctx.offset < ctx.total_count) {
+    *seq_err = E_END_OF_STREAM;
+    return true;
+  }
+  if (cut < out.frames.size()) {
+    // Drop frames past the sequential stop point.
+    size_t sub_cut = 0;
+    uint64_t val_cut = 0;
+    for (size_t i = 0; i < cut; i++)
+      sub_cut += (size_t)channel_count(out.frames[i].ch_code);
+    if (sub_cut < out.subs.size())
+      val_cut = out.subs[sub_cut].val_off;
+    else
+      val_cut = out.vals.size();
+    out.frames.resize(cut);
+    out.subs.resize(sub_cut);
+    out.vals.resize(val_cut);
+  }
+  *seq_err = OK;
+  return true;
+}
+
+// ---- pack + entry ----
+
+template <typename V>
+static int index_stream_t(const uint8_t* data, size_t len, int check_crc,
+                          uint32_t si_bps, BitReader br, Plan* out,
+                          int64_t* err_pos);
+
+template <typename V>
+static void pack_range(Range<V>& range, uint32_t si_bps, Plan* out);
+
 template <typename V>
 static int index_stream_t(const uint8_t* data, size_t len, int check_crc,
                           uint32_t si_bps, BitReader br, Plan* out,
                           int64_t* err_pos) {
-  const uint32_t expected_channels = out->si_channels;
-  bool valid_total = out->si_total_samples > 0;
-  uint64_t total_count = expected_channels *
-      (valid_total ? out->si_total_samples : 4096);
+  size_t first_frame_byte = br.byte_pos();
+  Range<V> range;
+  const char* force_seq = std::getenv("ZFLAC_TPU_SEQ_INDEX");
+  bool parallel_ok = false;
+  if (!(force_seq && force_seq[0] == '1')) {
+    int seq_err = OK;
+    parallel_ok = parallel_index<V>(data, len, check_crc, si_bps,
+                                    first_frame_byte, out, range, &seq_err);
+    if (parallel_ok && seq_err != OK) fail(seq_err);
+    if (!parallel_ok) {
+      range.frames.clear();
+      range.subs.clear();
+      range.vals.clear();
+    }
+  }
+  SeqCtx ctx;
+  if (!parallel_ok) {
+    seq_index<V>(data, len, check_crc, si_bps, br, out, range, ctx);
+  }
+  pack_range<V>(range, si_bps, out);
+  (void)err_pos;
+  return OK;
+}
 
-  bool first_frame = true;
+// Pack a parsed Range into the dense C-ABI plan. Locked parameters come
+// from the first frame of the range.
+template <typename V>
+static void pack_range(Range<V>& range, uint32_t si_bps, Plan* out) {
   uint32_t sample_rate = 0, channel_count_locked = 0, bits_per_sample = 0;
-  int bit_depth_code = -1;
+  if (!range.frames.empty()) {
+    const FrameInfo& f0 = range.frames[0];
+    sample_rate = f0.frame_sr;
+    channel_count_locked = (uint32_t)channel_count(f0.ch_code);
+    bits_per_sample = (f0.bd_code == 0 || kBitDepth[f0.bd_code] < 0)
+        ? si_bps : (uint32_t)kBitDepth[f0.bd_code];
+  }
 
   std::vector<int32_t> f_bs, f_chcode;
   std::vector<int64_t> f_pcm, f_byte;
-  std::vector<SubMeta> subs;
-  std::vector<V> vals;  // concatenated rows
-
-  uint64_t offset = 0, pcm_start = 0;
+  uint64_t pcm_start = 0;
   uint32_t max_block = 0;
-
-  for (;;) {
-    if (valid_total && offset >= total_count) break;
-    size_t frame_start = br.byte_pos();
-    if (br.pos + 32 > br.nbits()) {
-      if (valid_total) fail(E_END_OF_STREAM);
-      break;
-    }
-    uint64_t hdr = br.read_u32();
-    if ((hdr >> 17) != (0xFFF8u >> 1)) fail(E_INVALID_FRAME_HEADER);
-    unsigned bs_code = (hdr >> 12) & 0xF;
-    unsigned sr_code = (hdr >> 8) & 0xF;
-    unsigned ch_code = (hdr >> 4) & 0xF;
-    unsigned bd_code = (hdr >> 1) & 0x7;
-
-    read_coded_number(br);
-
-    uint32_t block_size;
-    if (bs_code == 0) {
-      fail(E_INVALID_FRAME_HEADER);
-      return 0;
-    } else if (bs_code == 6) {
-      block_size = br.read_u8() + 1;
-    } else if (bs_code == 7) {
-      uint32_t raw = br.read_u16();
-      if (raw == 0xFFFF) fail(E_INVALID_FRAME_HEADER);
-      block_size = raw + 1;
-    } else {
-      int v = block_size_value(bs_code);
-      if (v < 0) fail(E_INVALID_FRAME_HEADER);
-      block_size = (uint32_t)v;
-    }
-
-    uint32_t frame_sr;
-    int sr_entry = kSampleRateHz[sr_code];
-    if (sr_code == 0) frame_sr = out->si_sample_rate;
-    else if (sr_entry == -1) frame_sr = br.read_u8() * 1000;     // kHz
-    else if (sr_entry == -2) frame_sr = br.read_u16();           // Hz
-    else if (sr_entry == -3) frame_sr = br.read_u16() * 10;      // Hz/10
-    else if (sr_entry == -4) { fail(E_INVALID_FRAME_HEADER); return 0; }
-    else frame_sr = (uint32_t)sr_entry;
-
-    if (first_frame) {
-      sample_rate = frame_sr;
-      channel_count_locked = (uint32_t)channel_count(ch_code);
-      bit_depth_code = (int)bd_code;
-      if (bd_code == 0) bits_per_sample = si_bps;
-      else if (kBitDepth[bd_code] < 0) fail(E_INVALID_FRAME_HEADER);
-      else bits_per_sample = (uint32_t)kBitDepth[bd_code];
-      if (channel_count_locked != expected_channels)
-        fail(E_INCONSISTENT_PARAMETERS);
-      first_frame = false;
-    } else {
-      if (sample_rate != frame_sr ||
-          channel_count_locked != (uint32_t)channel_count(ch_code) ||
-          bit_depth_code != (int)bd_code)
-        fail(E_INCONSISTENT_PARAMETERS);
-    }
-
-    uint64_t expected_end = offset + (uint64_t)block_size *
-        channel_count_locked;
-    if (valid_total && expected_end > total_count) valid_total = false;
-    if (block_size == 1 && valid_total && expected_end < total_count)
-      fail(E_INVALID_FRAME_HEADER);
-
-    uint32_t header_crc = br.read_u8();
-    if (check_crc) {
-      if (crc8_range(data + frame_start, br.byte_pos() - 1 - frame_start)
-          != header_crc)
-        fail(E_INVALID_CHECKSUM);
-    }
-
-    int side = side_channel(ch_code);
-    for (uint32_t ch = 0; ch < channel_count_locked; ch++) {
-      if (br.read_bits(1) != 0) fail(E_INVALID_SUBFRAME_HEADER);
-      unsigned type_bits = (unsigned)br.read_bits(6);
-      unsigned wasted_flag = (unsigned)br.read_bits(1);
-      uint32_t wasted = wasted_flag ? br.read_unary() + 1 : 0;
-      uint32_t sub_bps = bits_per_sample + ((int)ch == side ? 1 : 0);
-
-      int kind, order;
-      if (type_bits == 0) { kind = 0; order = 0; }
-      else if (type_bits == 1) { kind = 1; order = 0; }
-      else if (type_bits >= 8 && type_bits <= 12) {
-        kind = 2; order = (int)type_bits - 8;
-      } else if (type_bits >= 32) {
-        kind = 3; order = (int)type_bits - 31;
-      } else {
-        fail(E_INVALID_SUBFRAME_HEADER);
-        return 0;
-      }
-      if (wasted >= sub_bps) fail(E_INVALID_SUBFRAME_HEADER);
-      uint32_t read_depth = sub_bps - wasted;
-
-      SubMeta sm{};
-      sm.kind = kind;
-      sm.order = order;
-      sm.wasted = (int32_t)wasted;
-      sm.shift = 0;
-      sm.wide = 0;
-      sm.val_off = vals.size();
-      sm.count = block_size;
-
-      if (kind == 0) {  // constant
-        vals.push_back((V)br.read_signed(read_depth));
-        vals.insert(vals.end(), block_size - 1, (V)0);
-      } else if (kind == 1) {  // verbatim
-        for (uint32_t i = 0; i < block_size; i++)
-          vals.push_back((V)br.read_signed(read_depth));
-      } else if (kind == 2) {  // fixed
-        if ((uint32_t)order > block_size) fail(E_INVALID_SUBFRAME_HEADER);
-        int64_t warm[4] = {0, 0, 0, 0};
-        for (int i = 0; i < order; i++) {
-          warm[i] = br.read_signed(read_depth);
-          vals.push_back((V)warm[i]);
-        }
-        decode_residuals<V>(br, vals, block_size, (uint32_t)order);
-        // Warm-up finite-difference seeds Delta^j s[j] (plan.py
-        // SEED_TRIANGLE).
-        static const int tri[4][4] = {
-            {1, 0, 0, 0}, {-1, 1, 0, 0}, {1, -2, 1, 0}, {-1, 3, -3, 1}};
-        for (int j = 0; j < order; j++) {
-          int64_t acc = 0;
-          for (int i = 0; i <= j; i++) acc += tri[j][i] * warm[i];
-          sm.seeds[j] = acc;
-        }
-      } else {  // LPC
-        if ((uint32_t)order > block_size) fail(E_INVALID_SUBFRAME_HEADER);
-        for (int i = 0; i < order; i++)
-          vals.push_back((V)br.read_signed(read_depth));
-        uint32_t precision = (uint32_t)br.read_bits(4) + 1;
-        sm.shift = (int32_t)br.read_bits(5);
-        for (int j = 0; j < order; j++)
-          sm.coeffs[31 - j] = (int32_t)br.read_signed(precision);
-        decode_residuals<V>(br, vals, block_size, (uint32_t)order);
-        // Mirror the reference: i32 accumulation for ≤16-bit streams
-        // (InterType, zflac.zig:314-319). safe_lpc re-routes on the
-        // Python side.
-        sm.wide = 0;
-        (void)precision;
-      }
-      // Zero-pad short rows (non-divisible partition layouts leave a
-      // tail; see oracle._decode_residuals).
-      uint64_t added = vals.size() - sm.val_off;
-      if (added < block_size)
-        vals.insert(vals.end(), block_size - added, (V)0);
-      subs.push_back(sm);
-    }
-
-    br.align_byte();
-    uint32_t frame_crc = br.read_u16();
-    if (check_crc) {
-      if (crc16_range(data + frame_start, br.byte_pos() - 2 - frame_start)
-          != frame_crc)
-        fail(E_INVALID_CHECKSUM);
-    }
-
-    f_bs.push_back((int32_t)block_size);
-    f_chcode.push_back((int32_t)ch_code);
+  for (const FrameInfo& f : range.frames) {
+    f_bs.push_back((int32_t)f.block_size);
+    f_chcode.push_back((int32_t)f.ch_code);
     f_pcm.push_back((int64_t)pcm_start);
-    f_byte.push_back((int64_t)frame_start);
-    offset = expected_end;
-    pcm_start += block_size;
-    if (block_size > max_block) max_block = block_size;
+    f_byte.push_back(f.start_byte);
+    pcm_start += f.block_size;
+    if (f.block_size > max_block) max_block = f.block_size;
   }
+  std::vector<SubMeta>& subs = range.subs;
+  std::vector<V>& vals = range.vals;
 
   // ---- pack into the dense plan ----
   uint64_t F = f_bs.size(), S = subs.size(), B = max_block;
@@ -492,8 +795,6 @@ static int index_stream_t(const uint8_t* data, size_t len, int check_crc,
   out->coeffs_rev = coeffs;
   out->seeds = seeds;
   out->wide = wide;
-  (void)err_pos;
-  return OK;
 }
 
 // ---- full scalar CPU decoder ----
@@ -503,216 +804,680 @@ static int index_stream_t(const uint8_t* data, size_t len, int check_crc,
 // (the reference's Zig toolchain is unavailable; BASELINE.md protocol)
 // and as a host fallback decode path.
 
+// One frame: header + subframes + reconstruction + decorrelation,
+// appended to `out` (frames are contiguous, interleaved). `ctx` carries
+// the sequential stream-consistency state machine; ctx=null gives the
+// structural-only parse used by parallel segments (re-validated after
+// the merge). Scratch vectors are caller-owned to avoid per-frame
+// allocation. Returns the FrameInfo for post-validation.
 template <typename V, typename C>
-static int decode_cpu_t(const uint8_t* data, size_t len, BitReader br,
-                        Plan* out, void** out_samples) {
-  const uint32_t expected_channels = out->si_channels;
-  bool valid_total = out->si_total_samples > 0;
-  uint64_t total_count = expected_channels *
-      (valid_total ? out->si_total_samples : 4096);
-  uint32_t si_bps = out->si_bits_per_sample;
+static FrameInfo decode_one_frame(BitReader& br, const uint8_t* data,
+                                  int check_crc, uint32_t si_sample_rate,
+                                  uint32_t si_bps, SeqCtx* ctx,
+                                  std::vector<V>& work,
+                                  std::vector<V>& res,
+                                  std::vector<V>& side_buf,
+                                  std::vector<C>& out) {
+  size_t frame_start = br.byte_pos();
+  uint64_t hdr = br.read_u32();
+  if ((hdr >> 17) != (0xFFF8u >> 1)) fail(E_INVALID_FRAME_HEADER);
+  unsigned bs_code = (hdr >> 12) & 0xF;
+  unsigned sr_code = (hdr >> 8) & 0xF;
+  unsigned ch_code = (hdr >> 4) & 0xF;
+  unsigned bd_code = (hdr >> 1) & 0x7;
+  read_coded_number(br);
 
-  bool first_frame = true;
-  uint32_t sample_rate = 0, nch = 0, bits_per_sample = 0;
-  int bit_depth_code = -1;
+  uint32_t block_size = 0;
+  if (bs_code == 0) fail(E_INVALID_FRAME_HEADER);
+  if (bs_code == 6) block_size = br.read_u8() + 1;
+  else if (bs_code == 7) {
+    uint32_t raw = br.read_u16();
+    if (raw == 0xFFFF) fail(E_INVALID_FRAME_HEADER);
+    block_size = raw + 1;
+  } else {
+    int v = block_size_value(bs_code);
+    if (v < 0) fail(E_INVALID_FRAME_HEADER);
+    block_size = (uint32_t)v;
+  }
 
-  std::vector<C> samples(total_count);
-  std::vector<V> work;
-  uint64_t offset = 0, pcm_start = 0, nframes = 0;
+  uint32_t frame_sr = 0;
+  int sr_entry = kSampleRateHz[sr_code];
+  if (sr_code == 0) frame_sr = si_sample_rate;
+  else if (sr_entry == -1) frame_sr = br.read_u8() * 1000;
+  else if (sr_entry == -2) frame_sr = br.read_u16();
+  else if (sr_entry == -3) frame_sr = br.read_u16() * 10;
+  else if (sr_entry == -4) fail(E_INVALID_FRAME_HEADER);
+  else frame_sr = (uint32_t)sr_entry;
 
-  for (;;) {
-    if (valid_total && offset >= total_count) break;
-    if (br.pos + 32 > br.nbits()) {
-      if (valid_total) fail(E_END_OF_STREAM);
-      break;
-    }
-    uint64_t hdr = br.read_u32();
-    if ((hdr >> 17) != (0xFFF8u >> 1)) fail(E_INVALID_FRAME_HEADER);
-    unsigned bs_code = (hdr >> 12) & 0xF;
-    unsigned sr_code = (hdr >> 8) & 0xF;
-    unsigned ch_code = (hdr >> 4) & 0xF;
-    unsigned bd_code = (hdr >> 1) & 0x7;
-    read_coded_number(br);
+  uint32_t nch = (uint32_t)channel_count(ch_code);
+  uint32_t bits_per_sample;
+  if (bd_code == 0) bits_per_sample = si_bps;
+  else if (kBitDepth[bd_code] < 0) {
+    if (!ctx || ctx->first) fail(E_INVALID_FRAME_HEADER);
+    bits_per_sample = 0;
+  } else {
+    bits_per_sample = (uint32_t)kBitDepth[bd_code];
+  }
 
-    uint32_t block_size;
-    if (bs_code == 0) fail(E_INVALID_FRAME_HEADER);
-    if (bs_code == 6) block_size = br.read_u8() + 1;
-    else if (bs_code == 7) {
-      uint32_t raw = br.read_u16();
-      if (raw == 0xFFFF) fail(E_INVALID_FRAME_HEADER);
-      block_size = raw + 1;
+  if (ctx) {
+    if (ctx->first) {
+      ctx->sample_rate = frame_sr;
+      ctx->locked_count = nch;
+      ctx->bd_code = (int)bd_code;
+      ctx->bits_per_sample = bits_per_sample;
+      if (nch != ctx->expected_channels) fail(E_INCONSISTENT_PARAMETERS);
+      ctx->first = false;
     } else {
-      int v = block_size_value(bs_code);
-      if (v < 0) fail(E_INVALID_FRAME_HEADER);
-      block_size = (uint32_t)v;
-    }
-
-    uint32_t frame_sr;
-    int sr_entry = kSampleRateHz[sr_code];
-    if (sr_code == 0) frame_sr = out->si_sample_rate;
-    else if (sr_entry == -1) frame_sr = br.read_u8() * 1000;
-    else if (sr_entry == -2) frame_sr = br.read_u16();
-    else if (sr_entry == -3) frame_sr = br.read_u16() * 10;
-    else if (sr_entry == -4) { fail(E_INVALID_FRAME_HEADER); return 0; }
-    else frame_sr = (uint32_t)sr_entry;
-
-    if (first_frame) {
-      sample_rate = frame_sr;
-      nch = (uint32_t)channel_count(ch_code);
-      bit_depth_code = (int)bd_code;
-      if (bd_code == 0) bits_per_sample = si_bps;
-      else if (kBitDepth[bd_code] < 0) fail(E_INVALID_FRAME_HEADER);
-      else bits_per_sample = (uint32_t)kBitDepth[bd_code];
-      if (nch != expected_channels) fail(E_INCONSISTENT_PARAMETERS);
-      first_frame = false;
-    } else {
-      if (sample_rate != frame_sr ||
-          nch != (uint32_t)channel_count(ch_code) ||
-          bit_depth_code != (int)bd_code)
+      if (ctx->sample_rate != frame_sr || ctx->locked_count != nch ||
+          ctx->bd_code != (int)bd_code)
         fail(E_INCONSISTENT_PARAMETERS);
     }
-
-    uint64_t expected_end = offset + (uint64_t)block_size * nch;
-    if (expected_end > samples.size()) {
-      samples.resize(std::max(samples.size() * 2, (size_t)expected_end));
-      valid_total = false;
-    }
-    if (block_size == 1 && valid_total && expected_end < total_count)
+    uint64_t expected_end =
+        ctx->offset + (uint64_t)block_size * ctx->locked_count;
+    if (ctx->valid_total && expected_end > ctx->total_count)
+      ctx->valid_total = false;
+    if (block_size == 1 && ctx->valid_total &&
+        expected_end < ctx->total_count)
       fail(E_INVALID_FRAME_HEADER);
-    br.read_u8();  // header CRC (read, unchecked — zflac.zig:407)
+    ctx->offset = expected_end;
+    bits_per_sample = ctx->bits_per_sample;
+    nch = ctx->locked_count;
+  }
 
-    int side = side_channel(ch_code);
-    work.resize(block_size);
-    // Side-channel values are kept at full width through decorrelation
-    // in a spill buffer (see oracle.py note on the reference's
-    // premature container cast).
-    std::vector<V> side_buf;
-    for (uint32_t ch = 0; ch < nch; ch++) {
-      if (br.read_bits(1) != 0) fail(E_INVALID_SUBFRAME_HEADER);
-      unsigned type_bits = (unsigned)br.read_bits(6);
-      unsigned wasted_flag = (unsigned)br.read_bits(1);
-      uint32_t wasted = wasted_flag ? br.read_unary() + 1 : 0;
-      uint32_t sub_bps = bits_per_sample + ((int)ch == side ? 1 : 0);
-      if (wasted >= sub_bps) fail(E_INVALID_SUBFRAME_HEADER);
-      uint32_t depth = sub_bps - wasted;
+  uint32_t header_crc = br.read_u8();
+  if (check_crc) {
+    if (crc8_range(data + frame_start, br.byte_pos() - 1 - frame_start)
+        != header_crc)
+      fail(E_INVALID_CHECKSUM);
+  }
 
-      if (type_bits == 0) {  // constant
-        V v = (V)br.read_signed(depth);
-        for (uint32_t i = 0; i < block_size; i++) work[i] = v;
-      } else if (type_bits == 1) {  // verbatim
-        for (uint32_t i = 0; i < block_size; i++)
-          work[i] = (V)br.read_signed(depth);
-      } else if (type_bits >= 8 && type_bits <= 12) {  // fixed
-        uint32_t order = type_bits - 8;
-        if (order > block_size) fail(E_INVALID_SUBFRAME_HEADER);
-        for (uint32_t i = 0; i < order; i++)
-          work[i] = (V)br.read_signed(depth);
-        std::vector<V> res;
-        res.reserve(block_size);
-        decode_residuals<V>(br, res, block_size, order);
-        res.resize(block_size - order);
-        std::memcpy(work.data() + order, res.data(),
-                    res.size() * sizeof(V));
-        switch (order) {
-          case 0: break;
-          case 1:
-            for (uint32_t i = 1; i < block_size; i++)
-              work[i] += work[i - 1];
-            break;
-          case 2:
-            for (uint32_t i = 2; i < block_size; i++)
-              work[i] += 2 * work[i - 1] - work[i - 2];
-            break;
-          case 3:
-            for (uint32_t i = 3; i < block_size; i++)
-              work[i] += 3 * work[i - 1] - 3 * work[i - 2] + work[i - 3];
-            break;
-          case 4:
-            for (uint32_t i = 4; i < block_size; i++)
-              work[i] += 4 * work[i - 1] - 6 * work[i - 2] +
-                  4 * work[i - 3] - work[i - 4];
-            break;
-          default: fail(E_INVALID_SUBFRAME_HEADER);
-        }
-      } else if (type_bits >= 32) {  // LPC
-        uint32_t order = type_bits - 31;
-        if (order > block_size) fail(E_INVALID_SUBFRAME_HEADER);
-        for (uint32_t i = 0; i < order; i++)
-          work[i] = (V)br.read_signed(depth);
-        uint32_t precision = (uint32_t)br.read_bits(4) + 1;
-        uint32_t shift = (uint32_t)br.read_bits(5);
-        int64_t coef[32];
+  size_t out_base = out.size();
+  out.resize(out_base + (size_t)block_size * nch);
+  C* fr = out.data() + out_base;
+
+  int side = side_channel(ch_code);
+  work.resize(block_size);
+  for (uint32_t ch = 0; ch < nch; ch++) {
+    if (br.read_bits(1) != 0) fail(E_INVALID_SUBFRAME_HEADER);
+    unsigned type_bits = (unsigned)br.read_bits(6);
+    unsigned wasted_flag = (unsigned)br.read_bits(1);
+    uint32_t wasted = wasted_flag ? br.read_unary() + 1 : 0;
+    uint32_t sub_bps = bits_per_sample + ((int)ch == side ? 1 : 0);
+    if (wasted >= sub_bps) fail(E_INVALID_SUBFRAME_HEADER);
+    uint32_t depth = sub_bps - wasted;
+
+    if (type_bits == 0) {  // constant
+      V v = (V)br.read_signed(depth);
+      for (uint32_t i = 0; i < block_size; i++) work[i] = v;
+    } else if (type_bits == 1) {  // verbatim
+      for (uint32_t i = 0; i < block_size; i++)
+        work[i] = (V)br.read_signed(depth);
+    } else if (type_bits >= 8 && type_bits <= 12) {  // fixed
+      uint32_t order = type_bits - 8;
+      if (order > block_size) fail(E_INVALID_SUBFRAME_HEADER);
+      for (uint32_t i = 0; i < order; i++)
+        work[i] = (V)br.read_signed(depth);
+      res.clear();
+      decode_residuals<V>(br, res, block_size, order);
+      res.resize(block_size - order);
+      std::memcpy(work.data() + order, res.data(), res.size() * sizeof(V));
+      switch (order) {
+        case 0: break;
+        case 1:
+          for (uint32_t i = 1; i < block_size; i++) work[i] += work[i - 1];
+          break;
+        case 2:
+          for (uint32_t i = 2; i < block_size; i++)
+            work[i] += 2 * work[i - 1] - work[i - 2];
+          break;
+        case 3:
+          for (uint32_t i = 3; i < block_size; i++)
+            work[i] += 3 * work[i - 1] - 3 * work[i - 2] + work[i - 3];
+          break;
+        case 4:
+          for (uint32_t i = 4; i < block_size; i++)
+            work[i] += 4 * work[i - 1] - 6 * work[i - 2] +
+                4 * work[i - 3] - work[i - 4];
+          break;
+        default: fail(E_INVALID_SUBFRAME_HEADER);
+      }
+    } else if (type_bits >= 32) {  // LPC
+      uint32_t order = type_bits - 31;
+      if (order > block_size) fail(E_INVALID_SUBFRAME_HEADER);
+      for (uint32_t i = 0; i < order; i++)
+        work[i] = (V)br.read_signed(depth);
+      uint32_t precision = (uint32_t)br.read_bits(4) + 1;
+      uint32_t shift = (uint32_t)br.read_bits(5);
+      int64_t coef[32];
+      for (uint32_t j = 0; j < order; j++)
+        coef[j] = br.read_signed(precision);
+      res.clear();
+      decode_residuals<V>(br, res, block_size, order);
+      res.resize(block_size - order);
+      std::memcpy(work.data() + order, res.data(), res.size() * sizeof(V));
+      for (uint32_t i = order; i < block_size; i++) {
+        int64_t pred = 0;
         for (uint32_t j = 0; j < order; j++)
-          coef[j] = br.read_signed(precision);
-        std::vector<V> res;
-        res.reserve(block_size);
-        decode_residuals<V>(br, res, block_size, order);
-        res.resize(block_size - order);
-        std::memcpy(work.data() + order, res.data(),
-                    res.size() * sizeof(V));
-        for (uint32_t i = order; i < block_size; i++) {
-          int64_t pred = 0;
-          for (uint32_t j = 0; j < order; j++)
-            pred += coef[j] * (int64_t)work[i - 1 - j];
-          work[i] += (V)(pred >> shift);
-        }
-      } else {
-        fail(E_INVALID_SUBFRAME_HEADER);
+          pred += coef[j] * (int64_t)work[i - 1 - j];
+        work[i] += (V)(pred >> shift);
       }
-
-      // Interleave with wasted shift (zflac.zig:493-497).
-      C* dst = samples.data() + offset + ch;
-      if ((int)ch == side && nch == 2) {
-        side_buf.resize(block_size);
-        for (uint32_t i = 0; i < block_size; i++)
-          side_buf[i] = (V)(work[i] << wasted);
-      } else {
-        for (uint32_t i = 0; i < block_size; i++)
-          dst[nch * i] = (C)(work[i] << wasted);
-      }
-    }
-    br.align_byte();
-    br.read_u16();  // frame CRC (read, unchecked — zflac.zig:548)
-
-    // Stereo decorrelation (zflac.zig:553-578), side at full width.
-    C* fr = samples.data() + offset;
-    if (ch_code == 8) {  // left-side: R = L - S
-      for (uint32_t i = 0; i < block_size; i++)
-        fr[2 * i + 1] = (C)((V)fr[2 * i] - side_buf[i]);
-    } else if (ch_code == 9) {  // side-right: L = S + R
-      for (uint32_t i = 0; i < block_size; i++)
-        fr[2 * i] = (C)(side_buf[i] + (V)fr[2 * i + 1]);
-    } else if (ch_code == 10) {  // mid-side
-      for (uint32_t i = 0; i < block_size; i++) {
-        V mid = ((V)fr[2 * i] << 1) | (side_buf[i] & 1);
-        V s = side_buf[i];
-        fr[2 * i] = (C)((mid + s) >> 1);
-        fr[2 * i + 1] = (C)((mid - s) >> 1);
-      }
+    } else {
+      fail(E_INVALID_SUBFRAME_HEADER);
     }
 
-    offset = expected_end;
-    pcm_start += block_size;
+    // Interleave with wasted shift (zflac.zig:493-497); the side
+    // channel stays at full width through decorrelation (see oracle.py
+    // note on the reference's premature container cast).
+    if ((int)ch == side && nch == 2) {
+      side_buf.resize(block_size);
+      for (uint32_t i = 0; i < block_size; i++)
+        side_buf[i] = (V)(work[i] << wasted);
+    } else {
+      C* dst = fr + ch;
+      for (uint32_t i = 0; i < block_size; i++)
+        dst[nch * i] = (C)(work[i] << wasted);
+    }
+  }
+  br.align_byte();
+  uint32_t frame_crc16 = br.read_u16();
+  if (check_crc) {
+    if (crc16_range(data + frame_start, br.byte_pos() - 2 - frame_start)
+        != frame_crc16)
+      fail(E_INVALID_CHECKSUM);
+  }
+
+  // Stereo decorrelation (zflac.zig:553-578).
+  if (ch_code == 8) {  // left-side: R = L - S
+    for (uint32_t i = 0; i < block_size; i++)
+      fr[2 * i + 1] = (C)((V)fr[2 * i] - side_buf[i]);
+  } else if (ch_code == 9) {  // side-right: L = S + R
+    for (uint32_t i = 0; i < block_size; i++)
+      fr[2 * i] = (C)(side_buf[i] + (V)fr[2 * i + 1]);
+  } else if (ch_code == 10) {  // mid-side
+    for (uint32_t i = 0; i < block_size; i++) {
+      V mid = ((V)fr[2 * i] << 1) | (side_buf[i] & 1);
+      V s = side_buf[i];
+      fr[2 * i] = (C)((mid + s) >> 1);
+      fr[2 * i + 1] = (C)((mid - s) >> 1);
+    }
+  }
+
+  return FrameInfo{block_size, frame_sr, ch_code, bd_code,
+                   (int64_t)frame_start};
+}
+
+template <typename V, typename C>
+static int decode_cpu_t(const uint8_t* data, size_t len, BitReader br,
+                        Plan* out, void** out_samples,
+                        int check_crc = 0) {
+  uint32_t si_bps = out->si_bits_per_sample;
+  SeqCtx ctx{};
+  ctx.valid_total = out->si_total_samples > 0;
+  ctx.expected_channels = out->si_channels;
+  ctx.total_count = ctx.expected_channels *
+      (ctx.valid_total ? out->si_total_samples : 4096);
+
+  std::vector<C> samples;
+  samples.reserve((size_t)ctx.total_count);
+  std::vector<V> work, res, side_buf;
+  uint64_t pcm_start = 0, nframes = 0;
+
+  for (;;) {
+    if (ctx.valid_total && ctx.offset >= ctx.total_count) break;
+    if (br.pos + 32 > br.nbits()) {
+      if (ctx.valid_total) fail(E_END_OF_STREAM);
+      break;
+    }
+    FrameInfo f = decode_one_frame<V, C>(br, data, check_crc,
+                                         out->si_sample_rate, si_bps,
+                                         &ctx, work, res, side_buf,
+                                         samples);
+    pcm_start += f.block_size;
     nframes++;
   }
 
-  out->sample_rate = sample_rate;
-  out->channels = nch;
-  out->bits_per_sample = bits_per_sample;
+  out->sample_rate = ctx.sample_rate;
+  out->channels = ctx.locked_count;
+  out->bits_per_sample = ctx.bits_per_sample;
   out->num_frames = nframes;
   out->total_samples = pcm_start;
   out->value_width = (int32_t)sizeof(C);
 
-  C* result = (C*)std::malloc(offset * sizeof(C) + 1);
+  C* result = (C*)std::malloc(samples.size() * sizeof(C) + 1);
   if (!result) fail(E_UNIMPLEMENTED);
-  std::memcpy(result, samples.data(), offset * sizeof(C));
+  std::memcpy(result, samples.data(), samples.size() * sizeof(C));
   *out_samples = result;
   return OK;
+}
+
+// Parallel full decode: sync-scan anchors (find_anchor) + per-segment
+// fused parse+reconstruct + merge, with sequential fallback on any
+// fix-up mismatch. The host production engine for host-destined PCM.
+template <typename V, typename C>
+static bool decode_parallel_t(const uint8_t* data, size_t len,
+                              size_t first_frame_byte, Plan* out,
+                              void** out_samples, int check_crc) {
+  size_t span = len - first_frame_byte;
+  unsigned T = std::thread::hardware_concurrency();
+  if (T < 2 || span < (1u << 20)) return false;
+  if (T > 8) T = 8;
+  uint32_t si_bps = out->si_bits_per_sample;
+
+  std::vector<int64_t> anchors(T, -1);
+  anchors[0] = (int64_t)first_frame_byte;
+  {
+    std::vector<std::thread> th;
+    for (unsigned t = 1; t < T; t++) {
+      size_t lo = first_frame_byte + span * t / T;
+      size_t hi = first_frame_byte + span * (t + 1) / T;
+      th.emplace_back([&, lo, hi, t] {
+        anchors[t] = find_anchor<V>(data, len, lo, hi,
+                                    out->si_sample_rate, si_bps);
+      });
+    }
+    for (auto& x : th) x.join();
+  }
+  std::vector<int64_t> starts;
+  for (unsigned t = 0; t < T; t++)
+    if (anchors[t] >= 0 && (starts.empty() || anchors[t] > starts.back()))
+      starts.push_back(anchors[t]);
+
+  struct Seg {
+    std::vector<C> pcm;
+    std::vector<FrameInfo> frames;
+    int64_t landed = -1;
+    int err = OK;
+  };
+  std::vector<Seg> segs(starts.size());
+  {
+    std::vector<std::thread> th;
+    for (size_t s = 0; s < starts.size(); s++) {
+      int64_t lo = starts[s];
+      int64_t hi = s + 1 < starts.size() ? starts[s + 1] : (int64_t)len;
+      th.emplace_back([&, s, lo, hi] {
+        Seg& r = segs[s];
+        r.pcm.reserve((size_t)(hi - lo) * 2);
+        std::vector<V> work, res, side_buf;
+        BitReader br{data, len, (uint64_t)lo * 8};
+        try {
+          for (;;) {
+            if ((int64_t)br.byte_pos() >= hi) break;
+            if (br.pos + 32 > br.nbits()) break;
+            r.frames.push_back(decode_one_frame<V, C>(
+                br, data, check_crc, out->si_sample_rate, si_bps,
+                nullptr, work, res, side_buf, r.pcm));
+          }
+          r.landed = (int64_t)br.byte_pos();
+        } catch (const Thrown& e) {
+          r.err = e.code;
+          r.landed = -1;
+        }
+      });
+    }
+    for (auto& x : th) x.join();
+  }
+
+  int trailing_err = OK;
+  for (size_t s = 0; s < segs.size(); s++) {
+    bool last = s + 1 == segs.size();
+    if (segs[s].err != OK) {
+      if (!last) return false;
+      trailing_err = segs[s].err;
+    } else if (!last && segs[s].landed != starts[s + 1]) {
+      return false;
+    }
+  }
+
+  // Sequential-semantics re-validation over the merged frame list.
+  std::vector<FrameInfo> frames;
+  for (auto& s : segs)
+    frames.insert(frames.end(), s.frames.begin(), s.frames.end());
+  SeqCtx ctx{};
+  ctx.valid_total = out->si_total_samples > 0;
+  ctx.expected_channels = out->si_channels;
+  ctx.total_count = ctx.expected_channels *
+      (ctx.valid_total ? out->si_total_samples : 4096);
+  size_t cut = frames.size();
+  bool cut_hit = false;
+  for (size_t i = 0; i < frames.size(); i++) {
+    const FrameInfo& f = frames[i];
+    if (ctx.valid_total && ctx.offset >= ctx.total_count) {
+      cut = i;
+      cut_hit = true;
+      break;
+    }
+    uint32_t nch = (uint32_t)channel_count(f.ch_code);
+    if (ctx.first) {
+      ctx.sample_rate = f.frame_sr;
+      ctx.locked_count = nch;
+      ctx.bd_code = (int)f.bd_code;
+      ctx.bits_per_sample = f.bd_code == 0
+          ? si_bps : (uint32_t)kBitDepth[f.bd_code];
+      if (nch != ctx.expected_channels) {
+        fail(E_INCONSISTENT_PARAMETERS);
+      }
+      ctx.first = false;
+    } else if (ctx.sample_rate != f.frame_sr ||
+               ctx.locked_count != nch || ctx.bd_code != (int)f.bd_code) {
+      fail(E_INCONSISTENT_PARAMETERS);
+    }
+    uint64_t expected_end =
+        ctx.offset + (uint64_t)f.block_size * ctx.locked_count;
+    if (ctx.valid_total && expected_end > ctx.total_count)
+      ctx.valid_total = false;
+    if (f.block_size == 1 && ctx.valid_total &&
+        expected_end < ctx.total_count)
+      fail(E_INVALID_FRAME_HEADER);
+    ctx.offset = expected_end;
+  }
+  if (!cut_hit && trailing_err != OK) return false;
+  if (cut == frames.size() && ctx.valid_total &&
+      ctx.offset < ctx.total_count)
+    fail(E_END_OF_STREAM);
+
+  // Merge PCM (trim at the sequential stop point).
+  uint64_t pcm_start = 0;
+  for (size_t i = 0; i < cut; i++) pcm_start += frames[i].block_size;
+  uint64_t n_out = pcm_start * ctx.locked_count;
+  C* result = (C*)std::malloc(n_out * sizeof(C) + 1);
+  if (!result) fail(E_UNIMPLEMENTED);
+  uint64_t written = 0, fidx = 0;
+  for (auto& s : segs) {
+    if (fidx >= cut) break;
+    size_t take_frames = std::min(s.frames.size(), cut - fidx);
+    uint64_t take = 0;
+    for (size_t i = 0; i < take_frames; i++)
+      take += (uint64_t)s.frames[i].block_size * ctx.locked_count;
+    std::memcpy(result + written, s.pcm.data(), take * sizeof(C));
+    written += take;
+    fidx += take_frames;
+  }
+
+  out->sample_rate = ctx.sample_rate;
+  out->channels = ctx.locked_count;
+  out->bits_per_sample = ctx.bits_per_sample;
+  out->num_frames = cut;
+  out->total_samples = pcm_start;
+  out->value_width = (int32_t)sizeof(C);
+  *out_samples = result;
+  return true;
+}
+
+template <typename V, typename C>
+static int decode_auto_t(const uint8_t* data, size_t len, BitReader br,
+                         Plan* out, void** out_samples,
+                         int check_crc = 0) {
+  const char* force_seq = std::getenv("ZFLAC_TPU_SEQ_INDEX");
+  if (!(force_seq && force_seq[0] == '1')) {
+    if (decode_parallel_t<V, C>(data, len, br.byte_pos(), out,
+                                out_samples, check_crc))
+      return OK;
+  }
+  return decode_cpu_t<V, C>(data, len, br, out, out_samples, check_crc);
+}
+
+// ---- native phase-2: plan -> PCM (threaded over frames) ----
+// Host-side counterpart of runtime/reconstruct.py for host-destined
+// output: reconstruction is embarrassingly parallel across frames, and
+// decoding on the host avoids the device round-trip entirely when the
+// consumer is host RAM (the PCIe/tunnel transfer exceeds the compute).
+
+template <typename V, typename C>
+static void reconstruct_frames_range(const Plan* p, size_t f_lo,
+                                     size_t f_hi, C* out) {
+  const V* rows = (const V*)p->rows;
+  const V* seeds = (const V*)p->seeds;
+  uint64_t B = p->max_block;
+  uint32_t nch = p->channels;
+  std::vector<V> work;
+  for (size_t f = f_lo; f < f_hi; f++) {
+    uint32_t bs = (uint32_t)p->f_block_size[f];
+    uint32_t ch_code = (uint32_t)p->f_channel_code[f];
+    int side = nch == 2 ? side_channel(ch_code) : -1;
+    C* dst = out + (uint64_t)p->f_pcm_start[f] * nch;
+    std::vector<V> side_buf;
+    for (uint32_t ch = 0; ch < nch; ch++) {
+      size_t s = f * nch + ch;
+      const V* row = rows + s * B;
+      int kind = p->kind[s];
+      int order = p->order[s];
+      int wasted = p->wasted[s];
+      int shift = p->shift[s];
+      work.assign(row, row + bs);
+      if (kind == 0) {  // constant
+        std::fill(work.begin(), work.end(), row[0]);
+      } else if (kind == 2) {  // fixed: seeded integration
+        switch (order) {
+          case 0: break;
+          case 1:
+            for (uint32_t i = 1; i < bs; i++) work[i] += work[i - 1];
+            break;
+          case 2:
+            for (uint32_t i = 2; i < bs; i++)
+              work[i] += 2 * work[i - 1] - work[i - 2];
+            break;
+          case 3:
+            for (uint32_t i = 3; i < bs; i++)
+              work[i] += 3 * work[i - 1] - 3 * work[i - 2] + work[i - 3];
+            break;
+          case 4:
+            for (uint32_t i = 4; i < bs; i++)
+              work[i] += 4 * work[i - 1] - 6 * work[i - 2] +
+                  4 * work[i - 3] - work[i - 4];
+            break;
+        }
+        (void)seeds;
+      } else if (kind == 3) {  // LPC
+        int64_t coef[32];
+        const int32_t* cr = p->coeffs_rev + s * 32;
+        for (int j = 0; j < order; j++) coef[j] = cr[31 - j];
+        for (uint32_t i = (uint32_t)order; i < bs; i++) {
+          int64_t pred = 0;
+          for (int j = 0; j < order; j++)
+            pred += coef[j] * (int64_t)work[i - 1 - j];
+          work[i] += (V)(pred >> shift);
+        }
+      }  // kind==1 verbatim: row already holds the samples
+      if ((int)ch == side) {
+        side_buf.resize(bs);
+        for (uint32_t i = 0; i < bs; i++)
+          side_buf[i] = (V)(work[i] << wasted);
+      } else {
+        for (uint32_t i = 0; i < bs; i++)
+          dst[nch * i + ch] = (C)(work[i] << wasted);
+      }
+    }
+    if (nch == 2) {
+      if (ch_code == 8) {
+        for (uint32_t i = 0; i < bs; i++)
+          dst[2 * i + 1] = (C)((V)dst[2 * i] - side_buf[i]);
+      } else if (ch_code == 9) {
+        for (uint32_t i = 0; i < bs; i++)
+          dst[2 * i] = (C)(side_buf[i] + (V)dst[2 * i + 1]);
+      } else if (ch_code == 10) {
+        for (uint32_t i = 0; i < bs; i++) {
+          V mid = ((V)dst[2 * i] << 1) | (side_buf[i] & 1);
+          V sv = side_buf[i];
+          dst[2 * i] = (C)((mid + sv) >> 1);
+          dst[2 * i + 1] = (C)((mid - sv) >> 1);
+        }
+      }
+    }
+  }
+}
+
+template <typename V, typename C>
+static int reconstruct_t(const Plan* p, void** out_samples) {
+  uint64_t n = p->total_samples * p->channels;
+  C* out = (C*)std::malloc(n * sizeof(C) + 1);
+  if (!out) return E_UNIMPLEMENTED;
+  size_t F = p->num_frames;
+  unsigned T = std::thread::hardware_concurrency();
+  if (T < 2 || F < 8) {
+    reconstruct_frames_range<V, C>(p, 0, F, out);
+  } else {
+    if (T > 8) T = 8;
+    std::vector<std::thread> th;
+    for (unsigned t = 0; t < T; t++) {
+      size_t lo = F * t / T, hi = F * (t + 1) / T;
+      th.emplace_back([=] {
+        reconstruct_frames_range<V, C>(p, lo, hi, out);
+      });
+    }
+    for (auto& x : th) x.join();
+  }
+  *out_samples = out;
+  return OK;
+}
+
+// ---- stream signature + metadata walk (zflac.zig:218-253) ----
+static void parse_stream_meta(BitReader& br, Plan* out) {
+  if (br.read_u32() != 0x664C6143ull) fail(E_INVALID_SIGNATURE);
+  bool have_si = false;
+  for (;;) {
+    uint32_t hb = br.read_u8();
+    bool last = (hb & 0x80) != 0;
+    uint32_t btype = hb & 0x7F;
+    uint32_t blen = br.read_u24();
+    if (btype == 0) {
+      out->min_block_size = br.read_u16();
+      out->max_block_size = br.read_u16();
+      out->min_frame_size = br.read_u24();
+      out->max_frame_size = br.read_u24();
+      out->si_sample_rate = (uint32_t)br.read_bits(20);
+      out->si_channels = (uint32_t)br.read_bits(3) + 1;
+      out->si_bits_per_sample = (uint32_t)br.read_bits(5) + 1;
+      out->si_total_samples = br.read_bits(36);
+      for (int i = 0; i < 16; i++) out->md5[i] = (uint8_t)br.read_u8();
+      have_si = true;
+    } else if (btype <= 6) {
+      br.skip_bytes(blen);
+    } else {
+      fail(E_INVALID_METADATA_HEADER);
+    }
+    if (last) break;
+  }
+  if (!have_si) fail(E_MISSING_STREAMINFO);
 }
 
 }  // namespace
 
 extern "C" {
+
+// One-call native decode: parallel index + threaded reconstruction.
+// Fills the plan (caller frees with zfi_free) and a malloc'd PCM buffer
+// (caller frees with zfi_free_samples). Container width is chosen from
+// STREAMINFO bps like the reference (zflac.zig:256-264).
+int zfi_decode_parallel(const uint8_t* data, size_t len, int check_crc,
+                        Plan* out, void** out_samples) {
+  std::memset(out, 0, sizeof(Plan));
+  *out_samples = nullptr;
+  try {
+    BitReader br{data, len, 0};
+    parse_stream_meta(br, out);
+    uint32_t aligned = (out->si_bits_per_sample + 7) & ~7u;
+    if (aligned == 8)
+      return decode_auto_t<int32_t, int8_t>(data, len, br, out,
+                                            out_samples, check_crc);
+    if (aligned == 16)
+      return decode_auto_t<int32_t, int16_t>(data, len, br, out,
+                                             out_samples, check_crc);
+    return decode_auto_t<int64_t, int32_t>(data, len, br, out,
+                                           out_samples, check_crc);
+  } catch (const Thrown& t) {
+    return t.code;
+  } catch (...) {
+    return E_UNIMPLEMENTED;
+  }
+}
+
+// Frame-resync anchor search over a byte window: returns the byte
+// offset of the first position in [from, limit) that parses as a
+// complete valid frame (header + subframes + CRC-16), or -1. Powers
+// multi-host byte-range sharding (parallel/longstream.py) and
+// error recovery; the reference lists resync as a TODO (Readme.md:54).
+int64_t zfi_find_anchor(const uint8_t* data, size_t len, uint64_t from,
+                        uint64_t limit, uint32_t si_sample_rate,
+                        uint32_t si_bits_per_sample) {
+  try {
+    uint32_t aligned = (si_bits_per_sample + 7) & ~7u;
+    if (aligned <= 16)
+      return find_anchor<int32_t>(data, len, (size_t)from, (size_t)limit,
+                                  si_sample_rate, si_bits_per_sample);
+    return find_anchor<int64_t>(data, len, (size_t)from, (size_t)limit,
+                                si_sample_rate, si_bits_per_sample);
+  } catch (...) {
+    return -1;
+  }
+}
+
+// Index a byte range [start_byte, stop_byte): structural parse of whole
+// frames until the cursor reaches stop_byte (the landed byte offset is
+// returned via *landed; -1 with an error code on a malformed frame).
+// Stream-level consistency/cut rules are the caller's job (the shards'
+// frame tables are merged and validated across hosts). STREAMINFO
+// fields must be pre-filled in `out` by the caller (from host 0).
+int zfi_index_range(const uint8_t* data, size_t len, uint64_t start_byte,
+                    uint64_t stop_byte, Plan* out, int check_crc,
+                    int64_t* landed) {
+  *landed = -1;
+  uint32_t bps = out->si_bits_per_sample;
+  uint32_t aligned = (bps + 7) & ~7u;
+  try {
+    if (aligned <= 16) {
+      Range<int32_t> range;
+      range.vals.reserve((size_t)(stop_byte - start_byte));
+      BitReader br{data, len, start_byte * 8};
+      for (;;) {
+        if (br.byte_pos() >= stop_byte) break;
+        if (br.pos + 32 > br.nbits()) break;
+        parse_frame<int32_t>(br, data, out->si_sample_rate, bps,
+                             check_crc, check_crc, nullptr, range);
+      }
+      *landed = (int64_t)br.byte_pos();
+      pack_range<int32_t>(range, bps, out);
+      return OK;
+    }
+    Range<int64_t> range;
+    range.vals.reserve((size_t)(stop_byte - start_byte));
+    BitReader br{data, len, start_byte * 8};
+    for (;;) {
+      if (br.byte_pos() >= stop_byte) break;
+      if (br.pos + 32 > br.nbits()) break;
+      parse_frame<int64_t>(br, data, out->si_sample_rate, bps,
+                           check_crc, check_crc, nullptr, range);
+    }
+    *landed = (int64_t)br.byte_pos();
+    pack_range<int64_t>(range, bps, out);
+    return OK;
+  } catch (const Thrown& t) {
+    return t.code;
+  } catch (...) {
+    return E_UNIMPLEMENTED;
+  }
+}
+
+// Native phase-2 reconstruction from an indexed plan: fills a malloc'd
+// interleaved container-width PCM buffer (pre-normalization). Caller
+// frees with zfi_free_samples. container_width: 1, 2, or 4 bytes.
+int zfi_reconstruct(const Plan* plan, int container_width,
+                    void** out_samples) {
+  *out_samples = nullptr;
+  try {
+    if (plan->value_width == 4) {
+      if (container_width == 1)
+        return reconstruct_t<int32_t, int8_t>(plan, out_samples);
+      if (container_width == 2)
+        return reconstruct_t<int32_t, int16_t>(plan, out_samples);
+      return reconstruct_t<int32_t, int32_t>(plan, out_samples);
+    }
+    if (container_width == 4)
+      return reconstruct_t<int64_t, int32_t>(plan, out_samples);
+    return E_UNIMPLEMENTED;
+  } catch (...) {
+    return E_UNIMPLEMENTED;
+  }
+}
 
 // Full scalar decode. out_samples receives a malloc'd interleaved
 // container-width buffer (int8/int16/int32 by value_width); caller
@@ -723,32 +1488,7 @@ int zfi_decode_cpu(const uint8_t* data, size_t len, Plan* out,
   *out_samples = nullptr;
   try {
     BitReader br{data, len, 0};
-    if (br.read_u32() != 0x664C6143ull) fail(E_INVALID_SIGNATURE);
-    bool have_si = false;
-    for (;;) {
-      uint32_t hb = br.read_u8();
-      bool last = (hb & 0x80) != 0;
-      uint32_t btype = hb & 0x7F;
-      uint32_t blen = br.read_u24();
-      if (btype == 0) {
-        out->min_block_size = br.read_u16();
-        out->max_block_size = br.read_u16();
-        out->min_frame_size = br.read_u24();
-        out->max_frame_size = br.read_u24();
-        out->si_sample_rate = (uint32_t)br.read_bits(20);
-        out->si_channels = (uint32_t)br.read_bits(3) + 1;
-        out->si_bits_per_sample = (uint32_t)br.read_bits(5) + 1;
-        out->si_total_samples = br.read_bits(36);
-        for (int i = 0; i < 16; i++) out->md5[i] = (uint8_t)br.read_u8();
-        have_si = true;
-      } else if (btype <= 6) {
-        br.skip_bytes(blen);
-      } else {
-        fail(E_INVALID_METADATA_HEADER);
-      }
-      if (last) break;
-    }
-    if (!have_si) fail(E_MISSING_STREAMINFO);
+    parse_stream_meta(br, out);
     uint32_t aligned = (out->si_bits_per_sample + 7) & ~7u;
     if (aligned == 8)
       return decode_cpu_t<int32_t, int8_t>(data, len, br, out,
@@ -773,34 +1513,7 @@ int zfi_index(const uint8_t* data, size_t len, int check_crc, Plan* out,
   std::memset(out, 0, sizeof(Plan));
   try {
     BitReader br{data, len, 0};
-    // ---- signature + metadata walk (zflac.zig:218-253) ----
-    if (br.read_u32() != 0x664C6143ull) fail(E_INVALID_SIGNATURE);
-    bool have_si = false;
-    for (;;) {
-      uint32_t hb = br.read_u8();
-      bool last = (hb & 0x80) != 0;
-      uint32_t btype = hb & 0x7F;
-      uint32_t blen = br.read_u24();
-      if (btype == 0) {
-        out->min_block_size = br.read_u16();
-        out->max_block_size = br.read_u16();
-        out->min_frame_size = br.read_u24();
-        out->max_frame_size = br.read_u24();
-        out->si_sample_rate = (uint32_t)br.read_bits(20);
-        out->si_channels = (uint32_t)br.read_bits(3) + 1;
-        out->si_bits_per_sample = (uint32_t)br.read_bits(5) + 1;
-        out->si_total_samples = br.read_bits(36);
-        for (int i = 0; i < 16; i++) out->md5[i] = (uint8_t)br.read_u8();
-        have_si = true;
-      } else if (btype <= 6) {
-        br.skip_bytes(blen);
-      } else {
-        fail(E_INVALID_METADATA_HEADER);
-      }
-      if (last) break;
-    }
-    if (!have_si) fail(E_MISSING_STREAMINFO);
-
+    parse_stream_meta(br, out);
     uint32_t bps = out->si_bits_per_sample;
     uint32_t aligned = (bps + 7) & ~7u;
     if (aligned <= 16)

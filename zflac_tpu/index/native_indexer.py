@@ -108,8 +108,25 @@ def _load():
         lib.zfi_decode_cpu.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(_Plan),
             ctypes.POINTER(ctypes.c_void_p)]
+        lib.zfi_decode_parallel.restype = ctypes.c_int
+        lib.zfi_decode_parallel.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(_Plan), ctypes.POINTER(ctypes.c_void_p)]
         lib.zfi_free_samples.restype = None
         lib.zfi_free_samples.argtypes = [ctypes.c_void_p]
+        lib.zfi_find_anchor.restype = ctypes.c_int64
+        lib.zfi_find_anchor.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint32]
+        lib.zfi_index_range.restype = ctypes.c_int
+        lib.zfi_index_range.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.POINTER(_Plan), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.zfi_reconstruct.restype = ctypes.c_int
+        lib.zfi_reconstruct.argtypes = [
+            ctypes.POINTER(_Plan), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p)]
         _lib = lib
         return _lib
 
@@ -177,6 +194,105 @@ def build_plan_native(data: bytes, check_crc: bool = False) -> StreamPlan:
         )
     finally:
         lib.zfi_free(ctypes.byref(plan))
+
+
+def find_anchor(data: bytes, from_byte: int, limit_byte: int,
+                info: StreamInfo) -> int:
+    """Frame-resync: byte offset of the first fully-validated frame
+    (structural parse + CRC-16) in [from_byte, limit_byte), or -1."""
+    lib = _load()
+    assert lib is not None
+    return int(lib.zfi_find_anchor(
+        data, len(data), from_byte, limit_byte, info.sample_rate,
+        info.bits_per_sample))
+
+
+def index_range(data: bytes, start_byte: int, stop_byte: int,
+                info: StreamInfo, check_crc: bool = False):
+    """Index whole frames in [start_byte, stop_byte). Returns
+    (StreamPlan shard, landed_byte). pcm_start offsets are shard-local;
+    the caller globalizes them after the boundary exchange."""
+    lib = _load()
+    assert lib is not None
+    plan = _Plan()
+    plan.si_sample_rate = info.sample_rate
+    plan.si_channels = info.channel_count
+    plan.si_bits_per_sample = info.bits_per_sample
+    plan.si_total_samples = info.total_samples
+    landed = ctypes.c_int64(-1)
+    rc = lib.zfi_index_range(data, len(data), start_byte, stop_byte,
+                             ctypes.byref(plan), int(check_crc),
+                             ctypes.byref(landed))
+    if rc != 0:
+        lib.zfi_free(ctypes.byref(plan))
+        msg = "frame CRC mismatch" if rc == 9 else ""
+        raise ERROR_MAP.get(rc, err.Unimplemented)(msg)
+    try:
+        sp = _plan_to_streamplan(plan, info)
+        return sp, int(landed.value)
+    finally:
+        lib.zfi_free(ctypes.byref(plan))
+
+
+def _plan_to_streamplan(plan, info: StreamInfo) -> StreamPlan:
+    S = int(plan.num_subframes)
+    F = int(plan.num_frames)
+    B = int(plan.max_block)
+    vdtype = np.int32 if plan.value_width == 4 else np.int64
+    return StreamPlan(
+        info=info,
+        sample_rate=int(plan.sample_rate),
+        channels=int(plan.channels),
+        bits_per_sample=int(plan.bits_per_sample),
+        block_size=_as_array(plan.f_block_size, (F,), np.int32),
+        channel_code=_as_array(plan.f_channel_code, (F,), np.int32),
+        pcm_start=_as_array(plan.f_pcm_start, (F,), np.int64),
+        frame_byte_offset=_as_array(plan.f_byte_offset, (F,), np.int64),
+        rows=_as_array(plan.rows, (S, B), vdtype),
+        kind=_as_array(plan.kind, (S,), np.int32),
+        order=_as_array(plan.order, (S,), np.int32),
+        wasted=_as_array(plan.wasted, (S,), np.int32),
+        shift=_as_array(plan.shift, (S,), np.int32),
+        coeffs_rev=_as_array(plan.coeffs_rev, (S, 32), np.int32),
+        fixed_seeds=_as_array(plan.seeds, (S, 4), vdtype),
+        wide=_as_array(plan.wide, (S,), np.uint8).astype(bool),
+        total_samples=int(plan.total_samples),
+        stats={"frames": F, "indexer": "native"},
+    )
+
+
+def decode_native_parallel(data: bytes, check_crc: bool = False):
+    """One-call native decode: parallel (sync-scan) indexing + threaded
+    reconstruction. The production host path for host-destined output.
+    Returns (interleaved pre-normalization container samples, meta)."""
+    lib = _load()
+    assert lib is not None
+    plan = _Plan()
+    samples_ptr = ctypes.c_void_p()
+    rc = lib.zfi_decode_parallel(data, len(data), int(check_crc),
+                                 ctypes.byref(plan),
+                                 ctypes.byref(samples_ptr))
+    try:
+        if rc != 0:
+            msg = "frame CRC mismatch" if rc == 9 else ""
+            raise ERROR_MAP.get(rc, err.Unimplemented)(msg)
+        from ..format import container_bits
+        cb = container_bits(int(plan.si_bits_per_sample))
+        n = int(plan.total_samples) * int(plan.channels)
+        dtype = {8: np.int8, 16: np.int16, 32: np.int32}[cb]
+        arr = _as_array(samples_ptr, (n,), dtype)
+        meta = {
+            "channels": int(plan.channels),
+            "sample_rate": int(plan.sample_rate),
+            "bits_per_sample": int(plan.bits_per_sample),
+            "si_bits_per_sample": int(plan.si_bits_per_sample),
+            "md5": bytes(bytearray(plan.md5)),
+            "frames": int(plan.num_frames),
+        }
+        return arr, meta
+    finally:
+        lib.zfi_free(ctypes.byref(plan))
+        lib.zfi_free_samples(samples_ptr)
 
 
 def decode_cpu_native(data: bytes):

@@ -68,10 +68,16 @@ def _run_reconstruct(plan: StreamPlan):
     # lowering does not tolerate.
     import jax
     needs_x64 = rows.dtype == np.int64 or bool(np.any(plan.wide))
-    target = jax.config.jax_default_device or jax.devices()[0]
+    try:
+        target = jax.config.jax_default_device or jax.devices()[0]
+        on_tpu = target.platform == "tpu"
+    except RuntimeError:
+        # Accelerator backend failed to initialize (e.g. the chip is
+        # held by another process); XLA will fall back to CPU.
+        on_tpu = False
     lpc_impl = "pallas" if (
         not needs_x64 and rows.dtype == np.int32 and Bp <= 4096
-        and target.platform == "tpu") else "scan"
+        and on_tpu) else "scan"
 
     # Gather lists per kernel class, padded to pow2 with OOB sentinels
     # (LPC pads to lane multiples for the kernel).
@@ -137,12 +143,52 @@ def verify_stream_md5(interleaved: np.ndarray, bps: int,
     return hashlib.md5(raw).digest() == expected
 
 
+def _decode_native(data: bytes, check_crc: bool,
+                   verify_md5: bool) -> DecodedFLAC:
+    """Host-native engine: parallel sync-scan index + threaded C++
+    reconstruction. Fastest path when the output destination is host
+    RAM (phase 2 is memory-bound; a device round-trip costs more than
+    the compute — see bench.py)."""
+    from ..index.native_indexer import decode_native_parallel
+    arr, meta = decode_native_parallel(data, check_crc=check_crc)
+    si_bps = meta["si_bits_per_sample"]
+    if verify_md5 and not verify_stream_md5(arr, si_bps, meta["md5"]):
+        raise InvalidChecksum("stream MD5 mismatch")
+    shift = fmt.normalization_shift(si_bps)
+    if shift:
+        arr = arr << shift
+    return DecodedFLAC(
+        channels=meta["channels"],
+        sample_rate=meta["sample_rate"],
+        bits_per_sample=meta["bits_per_sample"],
+        interleaved=arr,
+        stats={"frames": meta["frames"], "engine": "native"},
+    )
+
+
 def decode(data: bytes, check_crc: bool = False, verify_md5: bool = True,
-           prefer_native: bool = True,
-           safe_lpc: bool = False) -> DecodedFLAC:
-    """safe_lpc: route int32-stream LPC subframes through the widened
+           prefer_native: bool = True, safe_lpc: bool = False,
+           engine: str = "auto") -> DecodedFLAC:
+    """Decode a stream.
+
+    engine:
+      "auto"   fastest correct path for host output: the native engine
+               when available, else the XLA/Pallas engine.
+      "tpu"    host index + batched XLA/Pallas reconstruction (use for
+               device-resident output and sharded/long-stream decode).
+      "native" parallel C++ index + threaded C++ reconstruction.
+    safe_lpc: route int32-stream LPC subframes through the widened
     int64 accumulator class (hardening beyond the reference's always-i32
-    InterType for ≤16-bit streams, zflac.zig:314-319) at some cost."""
+    InterType for <=16-bit streams, zflac.zig:314-319) at some cost
+    (tpu engine only; the native engine always accumulates in 64-bit).
+    """
+    if engine == "auto":
+        from ..index.native_indexer import native_available
+        engine = "native" if (native_available() and prefer_native
+                              and not safe_lpc) else "tpu"
+    if engine == "native":
+        return _decode_native(data, check_crc, verify_md5)
+
     plan = build_plan(data, check_crc=check_crc,
                       prefer_native=prefer_native)
     if safe_lpc and plan.rows.dtype == np.int32:
