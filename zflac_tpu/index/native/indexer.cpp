@@ -174,6 +174,29 @@ struct SubMeta {
   uint8_t wide;
   uint64_t val_off;  // offset into value buffer
   uint32_t count;    // == block_size
+  uint32_t grp_start = 0, grp_n = 0;  // Rice-group table span (Range)
+};
+
+// Rice-group geometry shared with ops/rice.py.
+enum : uint32_t { kGroupG = 8, kGroupWindowWords = 12 };
+// A group is kernel-eligible only if every residual's code fits the
+// fixed bit window and int32 zigzag math (host invalidates otherwise).
+enum : uint32_t { kMaxGroupSpanBits = 32 * (kGroupWindowWords - 2),
+                  kMaxQuotient = 40 };
+
+struct GroupRec {
+  // Per-subframe recording of group boundaries during the residual
+  // scan: output position, absolute bit offset, rice param / escape.
+  std::vector<uint32_t> at;
+  std::vector<int64_t> off;
+  std::vector<uint8_t> k;
+  std::vector<uint8_t> depth;
+  std::vector<uint8_t> bad;   // group invalidated (huge quotient etc.)
+  int64_t end_pos = -1;
+  void clear() {
+    at.clear(); off.clear(); k.clear(); depth.clear(); bad.clear();
+    end_pos = -1;
+  }
 };
 
 // Extended-UTF-8 coded number (zflac.zig:203-214).
@@ -191,13 +214,29 @@ static uint64_t read_coded_number(BitReader& br) {
 
 template <typename V>
 static void decode_residuals(BitReader& br, std::vector<V>& vals,
-                             uint32_t block_size, uint32_t order) {
+                             uint32_t block_size, uint32_t order,
+                             GroupRec* rec = nullptr) {
   uint32_t coding = (uint32_t)br.read_bits(2);
   if (coding >= 2) fail(E_INVALID_RESIDUAL_CODING_METHOD);
   uint32_t po = (uint32_t)br.read_bits(4);
   unsigned pbits = coding == 0 ? 4 : 5;
   uint32_t escape = coding == 0 ? 0xF : 0x1F;
 
+  // Group recording needs partition boundaries aligned to G so that a
+  // group's Rice parameter is single-valued (ops/rice.py).
+  if (rec && !(po == 0 || ((block_size >> po) % kGroupG) == 0)) rec = nullptr;
+
+  auto record = [&](uint32_t out_pos, uint8_t kk, uint8_t dd) {
+    if (rec && (out_pos == order || (out_pos % kGroupG) == 0)) {
+      rec->at.push_back(out_pos);
+      rec->off.push_back((int64_t)br.pos);
+      rec->k.push_back(kk);
+      rec->depth.push_back(dd);
+      rec->bad.push_back(0);
+    }
+  };
+
+  uint32_t out_pos = order;
   uint32_t parts = 1u << po;
   for (uint32_t p = 0; p < parts; p++) {
     uint32_t count = block_size >> po;
@@ -209,20 +248,32 @@ static void decode_residuals(BitReader& br, std::vector<V>& vals,
     if (k == escape) {
       uint32_t depth = (uint32_t)br.read_bits(5);
       if (depth == 0) {
-        vals.insert(vals.end(), count, (V)0);
-      } else {
         for (uint32_t i = 0; i < count; i++)
+          record(out_pos + i, 0xFE, 0);
+        vals.insert(vals.end(), count, (V)0);
+        out_pos += count;
+      } else {
+        for (uint32_t i = 0; i < count; i++) {
+          record(out_pos, 0xFE, (uint8_t)depth);
           vals.push_back((V)br.read_signed(depth));
+          out_pos++;
+        }
       }
     } else {
       for (uint32_t i = 0; i < count; i++) {
+        record(out_pos, (uint8_t)k, 0);
         uint64_t q = br.read_unary();
         uint64_t rem = br.read_bits(k);
         uint64_t zz = (q << k) + rem;
+        if (rec && (q > kMaxQuotient || (zz >> 31) != 0) &&
+            !rec->bad.empty())
+          rec->bad.back() = 1;  // exceeds the kernel's envelope
         vals.push_back((V)((int64_t)(zz >> 1) ^ -(int64_t)(zz & 1)));
+        out_pos++;
       }
     }
   }
+  if (rec) rec->end_pos = (int64_t)br.pos;
 }
 
 // ---- result plan (C ABI struct; field order matters for ctypes) ----
@@ -248,7 +299,19 @@ struct Plan {
   int32_t* coeffs_rev;
   void* seeds;
   uint8_t* wide;
+  // Optional Rice-group offset table for the TPU bit-unpack kernel
+  // (ops/rice.py): per (subframe, group of G=8 output positions):
+  // absolute bit offset of the group's first coded residual, the Rice
+  // parameter (0xFE = escaped partition, 0xFF = invalid -> host path),
+  // and the escape depth. Layout [S, groups_per_row] with
+  // groups_per_row = ceil(max_block / 8). Null unless requested.
+  int64_t* grp_off;
+  uint8_t* grp_k;
+  uint8_t* grp_depth;
+  int32_t grp_per_row;
+  int32_t _pad2;
 };
+
 
 template <typename T>
 static T* alloc_copy(const std::vector<T>& v) {
@@ -279,6 +342,11 @@ struct Range {
   std::vector<FrameInfo> frames;
   std::vector<SubMeta> subs;
   std::vector<V> vals;
+  // Flattened per-subframe Rice-group tables (SubMeta.grp_start/grp_n).
+  std::vector<uint32_t> g_at;
+  std::vector<int64_t> g_off;
+  std::vector<uint8_t> g_k;
+  std::vector<uint8_t> g_depth;
 };
 
 struct SeqCtx {
@@ -290,11 +358,32 @@ struct SeqCtx {
   int bd_code = -1;
 };
 
+// Append a subframe's recorded Rice groups into the Range tables,
+// invalidating groups whose bit span exceeds the kernel window.
+template <typename V>
+static void append_groups(GroupRec& grec, SubMeta& sm, Range<V>& out) {
+  sm.grp_start = (uint32_t)out.g_at.size();
+  sm.grp_n = (uint32_t)grec.at.size();
+  for (size_t i = 0; i < grec.at.size(); i++) {
+    int64_t end = i + 1 < grec.off.size() ? grec.off[i + 1]
+                                          : grec.end_pos;
+    uint8_t kk = grec.k[i];
+    if (grec.bad[i] || end < 0 ||
+        (uint64_t)(end - grec.off[i]) > kMaxGroupSpanBits)
+      kk = 0xFF;
+    out.g_at.push_back(grec.at[i]);
+    out.g_off.push_back(grec.off[i]);
+    out.g_k.push_back(kk);
+    out.g_depth.push_back(grec.depth[i]);
+  }
+}
+
+
 template <typename V>
 static void parse_frame(BitReader& br, const uint8_t* data,
                         uint32_t si_sample_rate, uint32_t si_bps,
                         int check_crc8, int check_crc16, SeqCtx* ctx,
-                        Range<V>& out) {
+                        Range<V>& out, bool emit_groups = false) {
   size_t frame_start = br.byte_pos();
   uint64_t hdr = br.read_u32();
   if ((hdr >> 17) != (0xFFF8u >> 1)) fail(E_INVALID_FRAME_HEADER);
@@ -421,7 +510,10 @@ static void parse_frame(BitReader& br, const uint8_t* data,
         warm[i] = br.read_signed(read_depth);
         vals.push_back((V)warm[i]);
       }
-      decode_residuals<V>(br, vals, block_size, (uint32_t)order);
+      GroupRec grec;
+      decode_residuals<V>(br, vals, block_size, (uint32_t)order,
+                          emit_groups ? &grec : nullptr);
+      if (emit_groups) append_groups(grec, sm, out);
       // Warm-up finite-difference seeds Delta^j s[j] (plan.py
       // SEED_TRIANGLE).
       static const int tri[4][4] = {
@@ -439,7 +531,10 @@ static void parse_frame(BitReader& br, const uint8_t* data,
       sm.shift = (int32_t)br.read_bits(5);
       for (int j = 0; j < order; j++)
         sm.coeffs[31 - j] = (int32_t)br.read_signed(precision);
-      decode_residuals<V>(br, vals, block_size, (uint32_t)order);
+      GroupRec grec;
+      decode_residuals<V>(br, vals, block_size, (uint32_t)order,
+                          emit_groups ? &grec : nullptr);
+      if (emit_groups) append_groups(grec, sm, out);
       // Mirror the reference: i32 accumulation for <=16-bit streams
       // (InterType, zflac.zig:314-319); safe_lpc re-routes Python-side.
       sm.wide = 0;
@@ -470,7 +565,8 @@ static void parse_frame(BitReader& br, const uint8_t* data,
 template <typename V>
 static void seq_index(const uint8_t* data, size_t len, int check_crc,
                       uint32_t si_bps, BitReader br, const Plan* si,
-                      Range<V>& out, SeqCtx& ctx) {
+                      Range<V>& out, SeqCtx& ctx,
+                      bool emit_groups = false) {
   ctx = SeqCtx{};
   ctx.valid_total = si->si_total_samples > 0;
   ctx.expected_channels = si->si_channels;
@@ -485,7 +581,7 @@ static void seq_index(const uint8_t* data, size_t len, int check_crc,
       break;
     }
     parse_frame<V>(br, data, si->si_sample_rate, si_bps, check_crc,
-                   check_crc, &ctx, out);
+                   check_crc, &ctx, out, emit_groups);
   }
 }
 
@@ -530,7 +626,8 @@ struct SegResult {
 template <typename V>
 static bool parallel_index(const uint8_t* data, size_t len, int check_crc,
                            uint32_t si_bps, size_t first_frame_byte,
-                           const Plan* si, Range<V>& out, int* seq_err) {
+                           const Plan* si, Range<V>& out, int* seq_err,
+                           bool emit_groups = false) {
   size_t span = len - first_frame_byte;
   unsigned T = std::thread::hardware_concurrency();
   if (T < 2 || span < (1u << 20)) return false;
@@ -572,7 +669,8 @@ static bool parallel_index(const uint8_t* data, size_t len, int check_crc,
             if ((int64_t)br.byte_pos() >= hi) break;
             if (br.pos + 32 > br.nbits()) break;
             parse_frame<V>(br, data, si->si_sample_rate, si_bps,
-                           check_crc, check_crc, nullptr, r.range);
+                           check_crc, check_crc, nullptr, r.range,
+                           emit_groups);
           }
           r.landed = (int64_t)br.byte_pos();
         } catch (const Thrown& e) {
@@ -601,14 +699,24 @@ static bool parallel_index(const uint8_t* data, size_t len, int check_crc,
   // Merge.
   for (auto& seg : segs) {
     uint64_t val_base = out.vals.size();
+    uint32_t grp_base = (uint32_t)out.g_at.size();
     for (auto sm : seg.range.subs) {
       sm.val_off += val_base;
+      if (sm.grp_n) sm.grp_start += grp_base;
       out.subs.push_back(sm);
     }
     out.vals.insert(out.vals.end(), seg.range.vals.begin(),
                     seg.range.vals.end());
     out.frames.insert(out.frames.end(), seg.range.frames.begin(),
                       seg.range.frames.end());
+    out.g_at.insert(out.g_at.end(), seg.range.g_at.begin(),
+                    seg.range.g_at.end());
+    out.g_off.insert(out.g_off.end(), seg.range.g_off.begin(),
+                     seg.range.g_off.end());
+    out.g_k.insert(out.g_k.end(), seg.range.g_k.begin(),
+                   seg.range.g_k.end());
+    out.g_depth.insert(out.g_depth.end(), seg.range.g_depth.begin(),
+                       seg.range.g_depth.end());
   }
 
   // Re-validate with exact sequential semantics over the merged frame
@@ -685,7 +793,7 @@ static bool parallel_index(const uint8_t* data, size_t len, int check_crc,
 template <typename V>
 static int index_stream_t(const uint8_t* data, size_t len, int check_crc,
                           uint32_t si_bps, BitReader br, Plan* out,
-                          int64_t* err_pos);
+                          int64_t* err_pos, bool emit_groups = false);
 
 template <typename V>
 static void pack_range(Range<V>& range, uint32_t si_bps, Plan* out);
@@ -693,7 +801,7 @@ static void pack_range(Range<V>& range, uint32_t si_bps, Plan* out);
 template <typename V>
 static int index_stream_t(const uint8_t* data, size_t len, int check_crc,
                           uint32_t si_bps, BitReader br, Plan* out,
-                          int64_t* err_pos) {
+                          int64_t* err_pos, bool emit_groups) {
   size_t first_frame_byte = br.byte_pos();
   Range<V> range;
   const char* force_seq = std::getenv("ZFLAC_TPU_SEQ_INDEX");
@@ -701,17 +809,17 @@ static int index_stream_t(const uint8_t* data, size_t len, int check_crc,
   if (!(force_seq && force_seq[0] == '1')) {
     int seq_err = OK;
     parallel_ok = parallel_index<V>(data, len, check_crc, si_bps,
-                                    first_frame_byte, out, range, &seq_err);
+                                    first_frame_byte, out, range, &seq_err,
+                                    emit_groups);
     if (parallel_ok && seq_err != OK) fail(seq_err);
     if (!parallel_ok) {
-      range.frames.clear();
-      range.subs.clear();
-      range.vals.clear();
+      range = Range<V>{};
     }
   }
   SeqCtx ctx;
   if (!parallel_ok) {
-    seq_index<V>(data, len, check_crc, si_bps, br, out, range, ctx);
+    seq_index<V>(data, len, check_crc, si_bps, br, out, range, ctx,
+                 emit_groups);
   }
   pack_range<V>(range, si_bps, out);
   (void)err_pos;
@@ -795,6 +903,32 @@ static void pack_range(Range<V>& range, uint32_t si_bps, Plan* out) {
   out->coeffs_rev = coeffs;
   out->seeds = seeds;
   out->wide = wide;
+
+  // Rice-group offset table for the TPU unpack kernel (if recorded).
+  if (!range.g_at.empty()) {
+    uint32_t gpb = (uint32_t)((B + kGroupG - 1) / kGroupG);
+    out->grp_per_row = (int32_t)gpb;
+    int64_t* goff = (int64_t*)std::malloc(
+        (S * gpb ? S * gpb : 1) * sizeof(int64_t));
+    uint8_t* gk = (uint8_t*)std::malloc(S * gpb + 1);
+    uint8_t* gd = (uint8_t*)std::calloc(S * gpb + 1, 1);
+    if (!goff || !gk || !gd) fail(E_UNIMPLEMENTED);
+    for (uint64_t i = 0; i < S * gpb; i++) goff[i] = -1;
+    std::memset(gk, 0xFF, S * gpb);
+    for (uint64_t s = 0; s < S; s++) {
+      const SubMeta& sm = subs[s];
+      for (uint32_t i = 0; i < sm.grp_n; i++) {
+        uint32_t gi = range.g_at[sm.grp_start + i] / kGroupG;
+        if (gi >= gpb) continue;
+        goff[s * gpb + gi] = range.g_off[sm.grp_start + i];
+        gk[s * gpb + gi] = range.g_k[sm.grp_start + i];
+        gd[s * gpb + gi] = range.g_depth[sm.grp_start + i];
+      }
+    }
+    out->grp_off = goff;
+    out->grp_k = gk;
+    out->grp_depth = gd;
+  }
 }
 
 // ---- full scalar CPU decoder ----
@@ -1508,8 +1642,8 @@ int zfi_decode_cpu(const uint8_t* data, size_t len, Plan* out,
 void zfi_free_samples(void* p) { std::free(p); }
 
 
-int zfi_index(const uint8_t* data, size_t len, int check_crc, Plan* out,
-              int64_t* err_pos) {
+int zfi_index_ex(const uint8_t* data, size_t len, int check_crc,
+                 int emit_groups, Plan* out, int64_t* err_pos) {
   std::memset(out, 0, sizeof(Plan));
   try {
     BitReader br{data, len, 0};
@@ -1518,9 +1652,9 @@ int zfi_index(const uint8_t* data, size_t len, int check_crc, Plan* out,
     uint32_t aligned = (bps + 7) & ~7u;
     if (aligned <= 16)
       return index_stream_t<int32_t>(data, len, check_crc, bps, br, out,
-                                     err_pos);
+                                     err_pos, emit_groups != 0);
     return index_stream_t<int64_t>(data, len, check_crc, bps, br, out,
-                                   err_pos);
+                                   err_pos, emit_groups != 0);
   } catch (const Thrown& t) {
     if (err_pos) *err_pos = 0;
     return t.code;
@@ -1529,7 +1663,15 @@ int zfi_index(const uint8_t* data, size_t len, int check_crc, Plan* out,
   }
 }
 
+int zfi_index(const uint8_t* data, size_t len, int check_crc, Plan* out,
+              int64_t* err_pos) {
+  return zfi_index_ex(data, len, check_crc, 0, out, err_pos);
+}
+
 void zfi_free(Plan* p) {
+  std::free(p->grp_off);
+  std::free(p->grp_k);
+  std::free(p->grp_depth);
   std::free(p->f_block_size);
   std::free(p->f_channel_code);
   std::free(p->f_pcm_start);

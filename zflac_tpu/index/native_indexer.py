@@ -70,6 +70,11 @@ class _Plan(ctypes.Structure):
         ("coeffs_rev", ctypes.POINTER(ctypes.c_int32)),
         ("seeds", ctypes.c_void_p),
         ("wide", ctypes.POINTER(ctypes.c_uint8)),
+        ("grp_off", ctypes.POINTER(ctypes.c_int64)),
+        ("grp_k", ctypes.POINTER(ctypes.c_uint8)),
+        ("grp_depth", ctypes.POINTER(ctypes.c_uint8)),
+        ("grp_per_row", ctypes.c_int32),
+        ("_pad2", ctypes.c_int32),
     ]
 
 
@@ -101,6 +106,10 @@ def _load():
         lib.zfi_index.restype = ctypes.c_int
         lib.zfi_index.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(_Plan), ctypes.POINTER(ctypes.c_int64)]
+        lib.zfi_index_ex.restype = ctypes.c_int
+        lib.zfi_index_ex.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(_Plan), ctypes.POINTER(ctypes.c_int64)]
         lib.zfi_free.restype = None
         lib.zfi_free.argtypes = [ctypes.POINTER(_Plan)]
@@ -145,13 +154,17 @@ def _as_array(ptr, shape, dtype):
     return buf.reshape(shape).copy()
 
 
-def build_plan_native(data: bytes, check_crc: bool = False) -> StreamPlan:
+def build_plan_native(data: bytes, check_crc: bool = False,
+                      emit_groups: bool = False) -> StreamPlan:
+    """emit_groups: also record the Rice-group offset table consumed by
+    the TPU bit-unpack kernel (ops/rice.py)."""
     lib = _load()
     assert lib is not None
     plan = _Plan()
     err_pos = ctypes.c_int64(0)
-    rc = lib.zfi_index(data, len(data), int(check_crc),
-                       ctypes.byref(plan), ctypes.byref(err_pos))
+    rc = lib.zfi_index_ex(data, len(data), int(check_crc),
+                          int(emit_groups), ctypes.byref(plan),
+                          ctypes.byref(err_pos))
     if rc != 0:
         msg = "frame CRC mismatch" if rc == 9 else ""
         raise ERROR_MAP.get(rc, err.Unimplemented)(msg)
@@ -171,7 +184,7 @@ def build_plan_native(data: bytes, check_crc: bool = False) -> StreamPlan:
             total_samples=plan.si_total_samples,
             md5=bytes(bytearray(plan.md5)),
         )
-        return StreamPlan(
+        sp = StreamPlan(
             info=info,
             sample_rate=int(plan.sample_rate),
             channels=int(plan.channels),
@@ -192,6 +205,14 @@ def build_plan_native(data: bytes, check_crc: bool = False) -> StreamPlan:
             total_samples=int(plan.total_samples),
             stats={"frames": F, "indexer": "native"},
         )
+        if emit_groups and plan.grp_per_row:
+            gpb = int(plan.grp_per_row)
+            sp.groups = {
+                "off": _as_array(plan.grp_off, (S, gpb), np.int64),
+                "k": _as_array(plan.grp_k, (S, gpb), np.uint8),
+                "depth": _as_array(plan.grp_depth, (S, gpb), np.uint8),
+            }
+        return sp
     finally:
         lib.zfi_free(ctypes.byref(plan))
 

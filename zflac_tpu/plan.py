@@ -76,6 +76,12 @@ class StreamPlan:
 
     total_samples: int            # per-channel, actual decoded
     stats: dict = field(default_factory=dict)
+    #: Optional Rice-group offset table (native indexer emit_groups=True)
+    #: for the TPU bit-unpack kernel: {"off": [S, GPB] i64 absolute bit
+    #: offsets (-1 invalid), "k": [S, GPB] u8 (0xFE escape, 0xFF host
+    #: fallback), "depth": [S, GPB] u8}. Groups cover G=8 output
+    #: positions.
+    groups: dict | None = None
 
     @property
     def num_frames(self) -> int:

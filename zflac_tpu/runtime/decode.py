@@ -111,6 +111,125 @@ def _run_reconstruct(plan: StreamPlan):
     return np.asarray(pcm)[:F]
 
 
+def _run_reconstruct_device(plan: StreamPlan, data: bytes,
+                            unpack_impl: str = "pallas"):
+    """Device-side unpack variant of _run_reconstruct: uploads the
+    bitstream windows + plan metadata instead of the decoded rows; Rice
+    extraction and reconstruction both run on the accelerator
+    (reconstruct_device_unpack). int32 streams only."""
+    from ..ops.rice import G, K_INVALID, build_group_inputs
+    from .reconstruct import reconstruct_device_unpack
+
+    assert plan.rows.dtype == np.int32
+    F = plan.num_frames
+    C = plan.channels
+    S = plan.num_subframes
+    B = plan.max_block
+    Bp = _bucket_block(B)
+    Fp = _pad_pow2(F)
+    Sp = Fp * C
+
+    if plan.groups is None:
+        return _run_reconstruct(plan)  # no Rice-coded subframes
+    win, pos0, gk, gdepth, gskip, valid = build_group_inputs(data, plan)
+    GPB = valid.shape[1]
+
+    # Pad subframe axis: group grid [S, GPB] -> [Sp, GPB] (invalid).
+    def pad_groups(a, fill=0):
+        out = np.full((Sp, GPB), fill, dtype=a.dtype)
+        out[:S] = a.reshape(S, GPB)
+        return out.reshape(1, -1)
+
+    win_p = np.zeros((win.shape[0], Sp * GPB), dtype=win.dtype)
+    win_p[:, :S * GPB] = win
+    pos0 = pad_groups(pos0[0])
+    gk = pad_groups(gk[0], fill=K_INVALID)
+    gdepth = pad_groups(gdepth[0])
+    gskip = pad_groups(gskip[0])
+    # Lane padding for the kernel grid.
+    NG = Sp * GPB
+    NGp = -(-NG // 1024) * 1024
+    if NGp != NG:
+        pad = NGp - NG
+        win_p = np.pad(win_p, ((0, 0), (0, pad)))
+        pos0 = np.pad(pos0, ((0, 0), (0, pad)))
+        gk = np.pad(gk, ((0, 0), (0, pad)), constant_values=K_INVALID)
+        gdepth = np.pad(gdepth, ((0, 0), (0, pad)))
+        gskip = np.pad(gskip, ((0, 0), (0, pad)))
+
+    def pad1(a, n, dtype=None):
+        out = np.zeros(n, dtype=dtype or a.dtype)
+        out[:len(a)] = a
+        return out
+
+    kind = pad1(plan.kind, Sp)
+    order = pad1(plan.order, Sp)
+    wasted = pad1(plan.wasted, Sp)
+    shift = pad1(plan.shift, Sp)
+    coeffs = np.zeros((Sp, 32), dtype=np.int32)
+    coeffs[:S] = plan.coeffs_rev
+    seeds = np.zeros((Sp, 4), dtype=plan.fixed_seeds.dtype)
+    seeds[:S] = plan.fixed_seeds
+    channel_code = pad1(plan.channel_code, Fp)
+    warmups = np.zeros((Sp, 32), np.int32)
+    warmups[:S, :min(32, B)] = plan.rows[:, :min(32, B)].astype(np.int32)
+    bs_sub = pad1(np.repeat(plan.block_size, C), Sp)
+
+    # Sparse patches for kernel-ineligible groups: true row values at
+    # positions the kernel cannot produce.
+    col = np.arange(Bp)[None, :]
+    gv = np.zeros((Sp, GPB), bool)
+    gv[:S] = valid
+    gv_cols = np.repeat(gv, G, axis=1)[:, :Bp] if GPB * G >= Bp else \
+        np.pad(np.repeat(gv, G, axis=1), ((0, 0), (0, Bp - GPB * G)))
+    order_p = order[:, None]
+    bs_p = bs_sub[:, None]
+    need = (~gv_cols) & (col >= order_p) & (col < bs_p)
+    need[S:] = False
+    rows_host = np.zeros((Sp, Bp), np.int32)
+    rows_host[:S, :B] = plan.rows
+    pidx = np.nonzero(need.reshape(-1))[0].astype(np.int32)
+    pval = rows_host.reshape(-1)[pidx]
+    n_p = max(1, _pad_pow2(len(pidx)))
+    patch_idx = np.full(n_p, Sp * Bp, np.int32)  # OOB sentinel
+    patch_idx[:len(pidx)] = pidx
+    patch_val = np.zeros(n_p, np.int32)
+    patch_val[:len(pidx)] = pval
+
+    import jax
+    try:
+        target = jax.config.jax_default_device or jax.devices()[0]
+        on_tpu = target.platform == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    if not on_tpu:
+        unpack_impl = "jnp"
+    lpc_impl = "pallas" if (on_tpu and Bp <= 4096) else "scan"
+
+    class_idx = {}
+    for name, idx in plan.classes().items():
+        if len(idx) == 0:
+            continue
+        n = _pad_pow2(len(idx))
+        if name == "lpc" and lpc_impl == "pallas":
+            n = max(n, 128)
+        padded = np.full(n, Sp, dtype=np.int32)
+        padded[:len(idx)] = idx
+        class_idx[name] = padded
+
+    pcm = reconstruct_device_unpack(
+        win_p, pos0, gk, gdepth, gskip, warmups, patch_idx, patch_val,
+        kind, order, wasted, shift, coeffs, seeds, class_idx,
+        channel_code, bs_sub,
+        num_channels=C,
+        container_bits=fmt.container_bits(plan.info.bits_per_sample),
+        do_decorrelate=bool(
+            np.any(plan.channel_code > fmt.CH_INDEPENDENT_MAX)),
+        lpc_impl=lpc_impl, unpack_impl=unpack_impl, B=Bp, gpb=GPB,
+    )
+    return np.asarray(pcm)[:F]
+
+
 def _assemble(plan: StreamPlan, pcm: np.ndarray) -> np.ndarray:
     """[F, B, C] frame-major PCM -> interleaved output, honoring
     per-frame block sizes."""
@@ -168,7 +287,8 @@ def _decode_native(data: bytes, check_crc: bool,
 
 def decode(data: bytes, check_crc: bool = False, verify_md5: bool = True,
            prefer_native: bool = True, safe_lpc: bool = False,
-           engine: str = "auto") -> DecodedFLAC:
+           engine: str = "auto",
+           device_unpack: bool = False) -> DecodedFLAC:
     """Decode a stream.
 
     engine:
@@ -181,6 +301,9 @@ def decode(data: bytes, check_crc: bool = False, verify_md5: bool = True,
     int64 accumulator class (hardening beyond the reference's always-i32
     InterType for <=16-bit streams, zflac.zig:314-319) at some cost
     (tpu engine only; the native engine always accumulates in 64-bit).
+    device_unpack: tpu engine uploads the *bitstream windows* and runs
+    Rice extraction in the Pallas bit-unpack kernel on the accelerator
+    (ops/rice.py) instead of uploading host-decoded residual rows.
     """
     if engine == "auto":
         from ..index.native_indexer import native_available
@@ -190,7 +313,8 @@ def decode(data: bytes, check_crc: bool = False, verify_md5: bool = True,
         return _decode_native(data, check_crc, verify_md5)
 
     plan = build_plan(data, check_crc=check_crc,
-                      prefer_native=prefer_native)
+                      prefer_native=prefer_native,
+                      emit_groups=device_unpack)
     if safe_lpc and plan.rows.dtype == np.int32:
         plan.wide = (plan.kind == 3)
     dtype = container_dtype(plan.info.bits_per_sample)
@@ -198,7 +322,10 @@ def decode(data: bytes, check_crc: bool = False, verify_md5: bool = True,
     if plan.num_frames == 0:
         interleaved = np.zeros(0, dtype=dtype)
     else:
-        pcm = _run_reconstruct(plan)
+        if device_unpack and plan.rows.dtype == np.int32:
+            pcm = _run_reconstruct_device(plan, data)
+        else:
+            pcm = _run_reconstruct(plan)
         interleaved = _assemble(plan, pcm)
 
     if verify_md5:

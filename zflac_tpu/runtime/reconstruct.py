@@ -87,19 +87,11 @@ def _lpc_pallas(rows_g, coeffs_g, shift_g, order_g):
     return out_t.T
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_channels", "container_bits", "do_decorrelate",
-                     "lpc_impl"))
-def reconstruct(rows, kind, order, wasted, shift, coeffs_rev, fixed_seeds,
-                class_idx, channel_code, *, num_channels: int,
-                container_bits: int, do_decorrelate: bool,
-                lpc_impl: str = "scan"):
-    """Plan arrays -> container-width PCM [F, B, C] (pre-normalization).
-
-    class_idx: dict name -> padded int32 gather lists (out-of-bounds
-    entries are padding).
-    """
+def _reconstruct_core(rows, kind, order, wasted, shift, coeffs_rev,
+                      fixed_seeds, class_idx, channel_code, *,
+                      num_channels: int, container_bits: int,
+                      do_decorrelate: bool, lpc_impl: str):
+    """Shared reconstruction body: rows [S, B] -> PCM [F, B, C]."""
     S, B = rows.shape
     dtype = rows.dtype
     signal = jnp.zeros((S, B), dtype=dtype)
@@ -159,3 +151,70 @@ def reconstruct(rows, kind, order, wasted, shift, coeffs_rev, fixed_seeds,
     pcm = frames.transpose(0, 2, 1)
     cdtype = {8: jnp.int8, 16: jnp.int16, 32: jnp.int32}[container_bits]
     return pcm.astype(cdtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_channels", "container_bits", "do_decorrelate",
+                     "lpc_impl"))
+def reconstruct(rows, kind, order, wasted, shift, coeffs_rev, fixed_seeds,
+                class_idx, channel_code, *, num_channels: int,
+                container_bits: int, do_decorrelate: bool,
+                lpc_impl: str = "scan"):
+    """Plan arrays -> container-width PCM [F, B, C] (pre-normalization).
+
+    class_idx: dict name -> padded int32 gather lists (out-of-bounds
+    entries are padding).
+    """
+    return _reconstruct_core(
+        rows, kind, order, wasted, shift, coeffs_rev, fixed_seeds,
+        class_idx, channel_code, num_channels=num_channels,
+        container_bits=container_bits, do_decorrelate=do_decorrelate,
+        lpc_impl=lpc_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_channels", "container_bits", "do_decorrelate",
+                     "lpc_impl", "unpack_impl", "B", "gpb"))
+def reconstruct_device_unpack(windows, pos0, gk, gdepth, gskip, warmups,
+                              patch_idx, patch_val, kind, order, wasted,
+                              shift, coeffs_rev, fixed_seeds, class_idx,
+                              channel_code, bs_sub, *, num_channels: int,
+                              container_bits: int, do_decorrelate: bool,
+                              lpc_impl: str, unpack_impl: str, B: int,
+                              gpb: int):
+    """Fully device-side decode phase 2: the *bitstream windows* are the
+    upload (~= the compressed size) instead of the decoded rows; Rice
+    extraction runs in the bit-unpack kernel (ops/rice.py) and feeds the
+    reconstruction core without a host round-trip.
+
+    warmups: [S, 32] leading row values (order <= 32); patch_idx/val:
+    sparse fixes for kernel-ineligible groups (flat indices into
+    [S * B]); bs_sub: [S] per-subframe block size.
+    """
+    from ..ops.rice import G, lanes_default, rice_unpack_inline, _unpack_math
+
+    S = kind.shape[0]
+    if unpack_impl == "pallas":
+        out = rice_unpack_inline(windows, pos0, gk, gdepth, gskip,
+                                 lanes=lanes_default(windows.shape[1]))
+    else:
+        out = _unpack_math(windows, pos0, gk, gdepth, gskip)
+    out = out[:, :S * gpb]  # drop lane padding
+    rows = out.T.reshape(S, gpb * G)
+    rows = rows[:, :B] if gpb * G >= B else jnp.pad(
+        rows, ((0, 0), (0, B - gpb * G)))
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, B), 1)
+    warm = jnp.pad(warmups, ((0, 0), (0, B - warmups.shape[1])))
+    rows = jnp.where(col < order[:, None], warm, rows)
+    rows = rows.reshape(-1).at[patch_idx].set(patch_val, mode="drop")
+    rows = rows.reshape(S, B)
+    rows = jnp.where(col < bs_sub[:, None], rows, 0)
+
+    return _reconstruct_core(
+        rows, kind, order, wasted, shift, coeffs_rev, fixed_seeds,
+        class_idx, channel_code, num_channels=num_channels,
+        container_bits=container_bits, do_decorrelate=do_decorrelate,
+        lpc_impl=lpc_impl)
