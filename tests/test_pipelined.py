@@ -1,0 +1,29 @@
+"""Pipelined (chunked, async-dispatch) decode is bit-identical to the
+plain path."""
+
+import numpy as np
+import pytest
+
+from conftest import expected_output
+from zflac_tpu.encoder import EncoderConfig, encode
+from zflac_tpu.index.native_indexer import native_available
+from zflac_tpu.runtime.decode import decode_pipelined
+from zflac_tpu.testing import correlated_stereo, tone_mix
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native indexer unavailable")
+
+
+def test_pipelined_bit_exact():
+    pcm = correlated_stereo(64 * 1024, 16, seed=31)
+    data = encode(pcm, 44100, 16, EncoderConfig(block_size=2048))
+    r = decode_pipelined(data, chunk_frames=8)
+    assert r.stats["chunks"] > 1
+    np.testing.assert_array_equal(r.interleaved, expected_output(pcm, 16))
+
+
+def test_pipelined_highres():
+    pcm = tone_mix(16 * 1024, 2, 24, seed=32)
+    data = encode(pcm, 96000, 24, EncoderConfig(block_size=1024))
+    r = decode_pipelined(data, chunk_frames=4)
+    np.testing.assert_array_equal(r.interleaved, expected_output(pcm, 24))

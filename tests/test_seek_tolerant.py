@@ -1,0 +1,81 @@
+"""Seek/partial decode and tolerant (resync) decode."""
+
+import numpy as np
+import pytest
+
+from conftest import expected_output
+from zflac_tpu.encoder import EncoderConfig, encode
+from zflac_tpu.index import build_plan_py
+from zflac_tpu.index.native_indexer import native_available
+from zflac_tpu.runtime.seek import decode_range, decode_tolerant
+from zflac_tpu.testing import correlated_stereo, tone_mix
+
+
+def _stream(n=16 * 1024, bs=1024, **kw):
+    pcm = correlated_stereo(n, 16, seed=21)
+    return encode(pcm, 44100, 16, EncoderConfig(block_size=bs, **kw)), pcm
+
+
+@pytest.mark.parametrize("start,count", [
+    (0, 100), (1000, 4096), (5000, 1), (16 * 1024 - 10, 100),
+    (3000, 10000),
+])
+def test_decode_range(start, count):
+    data, pcm = _stream()
+    r = decode_range(data, start, count)
+    end = min(start + count, len(pcm))
+    np.testing.assert_array_equal(
+        r.interleaved, expected_output(pcm[start:end], 16))
+
+
+def test_decode_range_variable_blocking():
+    pcm = tone_mix(8000, 2, 16, seed=22)
+    data = encode(pcm, 44100, 16,
+                  EncoderConfig(block_size=1024, variable_blocking=True))
+    r = decode_range(data, 2500, 3000)
+    np.testing.assert_array_equal(
+        r.interleaved, expected_output(pcm[2500:5500], 16))
+
+
+@pytest.mark.skipif(not native_available(), reason="needs native")
+class TestTolerant:
+    def test_clean_stream(self):
+        data, pcm = _stream()
+        r = decode_tolerant(data)
+        assert r.stats["resyncs"] == 0 and r.stats["md5_ok"]
+        np.testing.assert_array_equal(r.interleaved,
+                                      expected_output(pcm, 16))
+
+    def test_corrupt_middle(self):
+        data, pcm = _stream()
+        plan = build_plan_py(data)
+        # Smash a few bytes inside frame 7's residuals.
+        bad = bytearray(data)
+        off = int(plan.frame_byte_offset[7]) + 40
+        for i in range(8):
+            bad[off + i] ^= 0xA5
+        r = decode_tolerant(bytes(bad))
+        assert r.stats["resyncs"] >= 1
+        assert not r.stats["md5_ok"]
+        assert r.num_samples == len(pcm)
+        # Everything outside the damaged frame's span decodes exactly.
+        exp = expected_output(pcm, 16).reshape(-1, 2)
+        got = r.samples
+        np.testing.assert_array_equal(got[:7 * 1024], exp[:7 * 1024])
+        np.testing.assert_array_equal(got[8 * 1024:], exp[8 * 1024:])
+
+    def test_corrupt_two_regions(self):
+        data, pcm = _stream()
+        plan = build_plan_py(data)
+        bad = bytearray(data)
+        for f in (3, 11):
+            off = int(plan.frame_byte_offset[f]) + 30
+            for i in range(4):
+                bad[off + i] ^= 0x77
+        r = decode_tolerant(bytes(bad))
+        assert r.stats["resyncs"] >= 1
+        exp = expected_output(pcm, 16).reshape(-1, 2)
+        got = r.samples
+        np.testing.assert_array_equal(got[4 * 1024:11 * 1024],
+                                      exp[4 * 1024:11 * 1024])
+        np.testing.assert_array_equal(got[12 * 1024:], exp[12 * 1024:])

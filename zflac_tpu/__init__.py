@@ -53,3 +53,44 @@ def decode_oracle(data, **kwargs):
         with open(data, "rb") as f:
             data = f.read()
     return _decode(bytes(data), **kwargs)
+
+
+def decode_range(data, start_sample, num_samples, **kwargs):
+    """Partial decode of [start_sample, start_sample + num_samples)
+    using the frame table as a seek table (runtime/seek.py)."""
+    from .runtime.seek import decode_range as _dr
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        with open(data, "rb") as f:
+            data = f.read()
+    return _dr(bytes(data), start_sample, num_samples, **kwargs)
+
+
+def decode_tolerant(data, **kwargs):
+    """Error-recovering decode: resynchronize past corrupt regions via
+    sync-scan anchors; gaps become silence at exact sample positions
+    (runtime/seek.py)."""
+    from .runtime.seek import decode_tolerant as _dt
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        with open(data, "rb") as f:
+            data = f.read()
+    return _dt(bytes(data), **kwargs)
+
+
+def decode_pipelined(data, **kwargs):
+    """Chunked decode overlapping host indexing with device compute
+    (runtime/decode.py)."""
+    from .runtime.decode import decode_pipelined as _dp
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        with open(data, "rb") as f:
+            data = f.read()
+    return _dp(bytes(data), **kwargs)
+
+
+def probe(data):
+    """Parse stream metadata (tags, seek table, pictures) without
+    decoding audio (metadata.py)."""
+    from .metadata import probe as _probe
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        with open(data, "rb") as f:
+            data = f.read()
+    return _probe(bytes(data))

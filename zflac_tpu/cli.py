@@ -49,7 +49,16 @@ def cmd_decode(args) -> int:
     with open(args.input, "rb") as f:
         data = f.read()
     t0 = time.perf_counter()
-    if args.engine == "oracle":
+    if args.tolerant:
+        r = zflac_tpu.decode_tolerant(data)
+        if not r.stats.get("md5_ok", True):
+            print(f"recovered with {r.stats['resyncs']} resync(s); "
+                  "MD5 mismatch (damaged stream)")
+    elif args.start is not None or args.count is not None:
+        start = args.start or 0
+        count = args.count if args.count is not None else (1 << 62)
+        r = zflac_tpu.decode_range(data, start, count)
+    elif args.engine == "oracle":
         r = zflac_tpu.decode_oracle(data, check_crc=args.crc)
     else:
         r = zflac_tpu.decode(data, check_crc=args.crc,
@@ -72,8 +81,21 @@ def cmd_decode(args) -> int:
 
 def cmd_inspect(args) -> int:
     from zflac_tpu.index import build_plan
+    from zflac_tpu.metadata import probe
     with open(args.input, "rb") as f:
         data = f.read()
+    meta = probe(data)
+    if meta.vendor:
+        print(f"vendor: {meta.vendor}")
+    for key, vals in meta.tags.items():
+        for v in vals:
+            print(f"tag: {key}={v}")
+    if meta.seek_points:
+        print(f"seek table: {len(meta.seek_points)} points")
+    for ptype, mime, desc, w, h, size in meta.pictures:
+        print(f"picture: type {ptype} {mime} {w}x{h} ({size} bytes)")
+    if meta.padding_bytes:
+        print(f"padding: {meta.padding_bytes} bytes")
     plan = build_plan(data)
     si = plan.info
     print(f"streaminfo: {si.channel_count} ch, {si.sample_rate} Hz, "
@@ -141,6 +163,10 @@ def main(argv=None) -> int:
     d.add_argument("--crc", action="store_true")
     d.add_argument("--engine", choices=("auto", "tpu", "native", "oracle"),
                    default="auto")
+    d.add_argument("--start", type=int, help="first sample (seek)")
+    d.add_argument("--count", type=int, help="number of samples")
+    d.add_argument("--tolerant", action="store_true",
+                   help="recover past corrupt regions via resync")
     d.set_defaults(fn=cmd_decode)
 
     i = sub.add_parser("inspect", help="print stream structure")

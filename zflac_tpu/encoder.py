@@ -52,6 +52,11 @@ class EncoderConfig:
     omit_total_samples: bool = False
     #: Lie in STREAMINFO total-samples by this delta (buffer-growth tests).
     total_samples_fudge: int = 0
+    #: Optional metadata blocks: vorbis comments {KEY: value}, padding
+    #: bytes, and a SEEKTABLE point every N samples (0 = none).
+    tags: dict | None = None
+    padding: int = 0
+    seektable_every: int = 0
     seed: int = 0
     stats: dict = field(default_factory=dict)
 
@@ -305,6 +310,7 @@ def encode(pcm: np.ndarray, sample_rate: int, bits_per_sample: int,
     # ---- frames ----
     frames = bytearray()
     frame_sizes = []
+    frame_offsets = []   # (first_sample, byte offset within frame section)
     pos = 0
     frame_idx = 0
     while pos < num_samples:
@@ -325,6 +331,7 @@ def encode(pcm: np.ndarray, sample_rate: int, bits_per_sample: int,
             ch_code = channels - 1
             smode = "independent"
 
+        frame_offsets.append((pos, len(frames)))
         frame = _encode_frame(block, ch_code, smode, sample_rate,
                               bits_per_sample, cur_bs, frame_idx, pos, cfg)
         frames.extend(frame)
@@ -332,10 +339,37 @@ def encode(pcm: np.ndarray, sample_rate: int, bits_per_sample: int,
         pos += cur_bs
         frame_idx += 1
 
-    # ---- STREAMINFO ----
+    # ---- STREAMINFO (+ optional metadata blocks) ----
+    extra_blocks = []
+    if cfg.seektable_every:
+        pts = []
+        nxt = 0
+        for i, (first, off) in enumerate(frame_offsets):
+            if first >= nxt:
+                ns = frame_sizes[i] and (
+                    min(cfg.block_size, num_samples - first))
+                pts.append((first, off, ns))
+                nxt = first + cfg.seektable_every
+        body = bytearray()
+        for sample, off, ns in pts:
+            body += int(sample).to_bytes(8, "big")
+            body += int(off).to_bytes(8, "big")
+            body += int(ns).to_bytes(2, "big")
+        extra_blocks.append((fmt.META_SEEKTABLE, bytes(body)))
+    if cfg.tags is not None:
+        vendor = b"zflac-tpu encoder"
+        body = bytearray(len(vendor).to_bytes(4, "little") + vendor)
+        items = [f"{k}={v}".encode() for k, v in cfg.tags.items()]
+        body += len(items).to_bytes(4, "little")
+        for it in items:
+            body += len(it).to_bytes(4, "little") + it
+        extra_blocks.append((fmt.META_VORBIS_COMMENT, bytes(body)))
+    if cfg.padding:
+        extra_blocks.append((fmt.META_PADDING, b"\x00" * cfg.padding))
+
     bw = BitWriter()
     bw.write_bytes(fmt.SIGNATURE_BYTES)
-    bw.write_bits(1, 1)            # last metadata block
+    bw.write_bits(0 if extra_blocks else 1, 1)  # last metadata block?
     bw.write_bits(fmt.META_STREAMINFO, 7)
     bw.write_bits(34, 24)          # STREAMINFO length
     min_bs = min(bs, num_samples) if not cfg.variable_blocking else 16
@@ -358,6 +392,12 @@ def encode(pcm: np.ndarray, sample_rate: int, bits_per_sample: int,
     md5.update(b"".join(
         int(int(v) & mask).to_bytes(nbytes, "little") for v in flat))
     bw.write_bytes(md5.digest())
+
+    for i, (btype, body) in enumerate(extra_blocks):
+        bw.write_bits(1 if i + 1 == len(extra_blocks) else 0, 1)
+        bw.write_bits(btype, 7)
+        bw.write_bits(len(body), 24)
+        bw.write_bytes(body)
 
     return bw.getvalue() + bytes(frames)
 

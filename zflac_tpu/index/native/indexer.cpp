@@ -310,6 +310,9 @@ struct Plan {
   uint8_t* grp_depth;
   int32_t grp_per_row;
   int32_t _pad2;
+  int64_t* f_coded_number;   // [F]
+  int32_t variable_blocking;  // blocking strategy of frame 0
+  int32_t _pad3;
 };
 
 
@@ -335,6 +338,8 @@ struct FrameInfo {
   uint32_t ch_code;
   uint32_t bd_code;
   int64_t start_byte;
+  int64_t coded_number;  // frame index (fixed) / first sample (variable)
+  uint32_t variable_blocking;
 };
 
 template <typename V>
@@ -387,12 +392,13 @@ static void parse_frame(BitReader& br, const uint8_t* data,
   size_t frame_start = br.byte_pos();
   uint64_t hdr = br.read_u32();
   if ((hdr >> 17) != (0xFFF8u >> 1)) fail(E_INVALID_FRAME_HEADER);
+  unsigned variable_blocking = (unsigned)((hdr >> 16) & 1);
   unsigned bs_code = (hdr >> 12) & 0xF;
   unsigned sr_code = (hdr >> 8) & 0xF;
   unsigned ch_code = (hdr >> 4) & 0xF;
   unsigned bd_code = (hdr >> 1) & 0x7;
 
-  read_coded_number(br);
+  uint64_t coded_number = read_coded_number(br);
 
   uint32_t block_size;
   if (bs_code == 0) {
@@ -557,7 +563,9 @@ static void parse_frame(BitReader& br, const uint8_t* data,
   }
 
   out.frames.push_back(FrameInfo{block_size, frame_sr, ch_code, bd_code,
-                                 (int64_t)frame_start});
+                                 (int64_t)frame_start,
+                                 (int64_t)coded_number,
+                                 variable_blocking});
 }
 
 // ---- sequential driver (exact reference semantics) ----
@@ -840,7 +848,7 @@ static void pack_range(Range<V>& range, uint32_t si_bps, Plan* out) {
   }
 
   std::vector<int32_t> f_bs, f_chcode;
-  std::vector<int64_t> f_pcm, f_byte;
+  std::vector<int64_t> f_pcm, f_byte, f_coded;
   uint64_t pcm_start = 0;
   uint32_t max_block = 0;
   for (const FrameInfo& f : range.frames) {
@@ -848,9 +856,13 @@ static void pack_range(Range<V>& range, uint32_t si_bps, Plan* out) {
     f_chcode.push_back((int32_t)f.ch_code);
     f_pcm.push_back((int64_t)pcm_start);
     f_byte.push_back(f.start_byte);
+    f_coded.push_back(f.coded_number);
     pcm_start += f.block_size;
     if (f.block_size > max_block) max_block = f.block_size;
   }
+  out->f_coded_number = alloc_copy(f_coded);
+  out->variable_blocking =
+      range.frames.empty() ? 0 : (int32_t)range.frames[0].variable_blocking;
   std::vector<SubMeta>& subs = range.subs;
   std::vector<V>& vals = range.vals;
 
@@ -1555,35 +1567,49 @@ int zfi_index_range(const uint8_t* data, size_t len, uint64_t start_byte,
                     uint64_t stop_byte, Plan* out, int check_crc,
                     int64_t* landed) {
   *landed = -1;
+  // NOTE: the caller pre-fills the STREAMINFO fields of `out` (shards
+  // receive them via the broadcast); only the output pointers must be
+  // clean, which the caller's zero-initialized struct guarantees.
   uint32_t bps = out->si_bits_per_sample;
   uint32_t aligned = (bps + 7) & ~7u;
-  try {
-    if (aligned <= 16) {
-      Range<int32_t> range;
-      range.vals.reserve((size_t)(stop_byte - start_byte));
-      BitReader br{data, len, start_byte * 8};
-      for (;;) {
-        if (br.byte_pos() >= stop_byte) break;
-        if (br.pos + 32 > br.nbits()) break;
-        parse_frame<int32_t>(br, data, out->si_sample_rate, bps,
-                             check_crc, check_crc, nullptr, range);
-      }
-      *landed = (int64_t)br.byte_pos();
-      pack_range<int32_t>(range, bps, out);
-      return OK;
-    }
-    Range<int64_t> range;
+  // On a malformed frame the frames parsed so far are still packed and
+  // the error byte offset is reported via *landed (tolerant decode
+  // resynchronizes from there with zfi_find_anchor).
+  auto run = [&](auto tag) -> int {
+    using V = decltype(tag);
+    Range<V> range;
     range.vals.reserve((size_t)(stop_byte - start_byte));
     BitReader br{data, len, start_byte * 8};
+    int err = OK;
     for (;;) {
       if (br.byte_pos() >= stop_byte) break;
       if (br.pos + 32 > br.nbits()) break;
-      parse_frame<int64_t>(br, data, out->si_sample_rate, bps,
-                           check_crc, check_crc, nullptr, range);
+      size_t subs_cp = range.subs.size();
+      size_t vals_cp = range.vals.size();
+      size_t g_cp = range.g_at.size();
+      uint64_t pos_cp = br.pos;
+      try {
+        parse_frame<V>(br, data, out->si_sample_rate, bps, check_crc,
+                       check_crc, nullptr, range);
+      } catch (const Thrown& t) {
+        range.subs.resize(subs_cp);
+        range.vals.resize(vals_cp);
+        range.g_at.resize(g_cp);
+        range.g_off.resize(g_cp);
+        range.g_k.resize(g_cp);
+        range.g_depth.resize(g_cp);
+        br.pos = pos_cp;
+        err = t.code;
+        break;
+      }
     }
     *landed = (int64_t)br.byte_pos();
-    pack_range<int64_t>(range, bps, out);
-    return OK;
+    pack_range<V>(range, bps, out);
+    return err;
+  };
+  try {
+    if (aligned <= 16) return run((int32_t)0);
+    return run((int64_t)0);
   } catch (const Thrown& t) {
     return t.code;
   } catch (...) {
@@ -1669,6 +1695,7 @@ int zfi_index(const uint8_t* data, size_t len, int check_crc, Plan* out,
 }
 
 void zfi_free(Plan* p) {
+  std::free(p->f_coded_number);
   std::free(p->grp_off);
   std::free(p->grp_k);
   std::free(p->grp_depth);

@@ -75,6 +75,9 @@ class _Plan(ctypes.Structure):
         ("grp_depth", ctypes.POINTER(ctypes.c_uint8)),
         ("grp_per_row", ctypes.c_int32),
         ("_pad2", ctypes.c_int32),
+        ("f_coded_number", ctypes.POINTER(ctypes.c_int64)),
+        ("variable_blocking", ctypes.c_int32),
+        ("_pad3", ctypes.c_int32),
     ]
 
 
@@ -194,6 +197,8 @@ def build_plan_native(data: bytes, check_crc: bool = False,
             pcm_start=_as_array(plan.f_pcm_start, (F,), np.int64),
             frame_byte_offset=_as_array(plan.f_byte_offset, (F,),
                                         np.int64),
+            coded_number=_as_array(plan.f_coded_number, (F,), np.int64),
+            variable_blocking=bool(plan.variable_blocking),
             rows=_as_array(plan.rows, (S, B), vdtype),
             kind=_as_array(plan.kind, (S,), np.int32),
             order=_as_array(plan.order, (S,), np.int32),
@@ -229,7 +234,8 @@ def find_anchor(data: bytes, from_byte: int, limit_byte: int,
 
 
 def index_range(data: bytes, start_byte: int, stop_byte: int,
-                info: StreamInfo, check_crc: bool = False):
+                info: StreamInfo, check_crc: bool = False,
+                partial_ok: bool = False):
     """Index whole frames in [start_byte, stop_byte). Returns
     (StreamPlan shard, landed_byte). pcm_start offsets are shard-local;
     the caller globalizes them after the boundary exchange."""
@@ -244,12 +250,15 @@ def index_range(data: bytes, start_byte: int, stop_byte: int,
     rc = lib.zfi_index_range(data, len(data), start_byte, stop_byte,
                              ctypes.byref(plan), int(check_crc),
                              ctypes.byref(landed))
-    if rc != 0:
-        lib.zfi_free(ctypes.byref(plan))
-        msg = "frame CRC mismatch" if rc == 9 else ""
-        raise ERROR_MAP.get(rc, err.Unimplemented)(msg)
     try:
+        if rc != 0 and not partial_ok:
+            msg = "frame CRC mismatch" if rc == 9 else ""
+            raise ERROR_MAP.get(rc, err.Unimplemented)(msg)
         sp = _plan_to_streamplan(plan, info)
+        if partial_ok:
+            exc = (ERROR_MAP.get(rc, err.Unimplemented)()
+                   if rc != 0 else None)
+            return sp, int(landed.value), exc
         return sp, int(landed.value)
     finally:
         lib.zfi_free(ctypes.byref(plan))
@@ -269,6 +278,8 @@ def _plan_to_streamplan(plan, info: StreamInfo) -> StreamPlan:
         channel_code=_as_array(plan.f_channel_code, (F,), np.int32),
         pcm_start=_as_array(plan.f_pcm_start, (F,), np.int64),
         frame_byte_offset=_as_array(plan.f_byte_offset, (F,), np.int64),
+        coded_number=_as_array(plan.f_coded_number, (F,), np.int64),
+        variable_blocking=bool(plan.variable_blocking),
         rows=_as_array(plan.rows, (S, B), vdtype),
         kind=_as_array(plan.kind, (S,), np.int32),
         order=_as_array(plan.order, (S,), np.int32),

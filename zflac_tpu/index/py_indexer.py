@@ -50,6 +50,8 @@ def build_plan(data: bytes, check_crc: bool = False) -> StreamPlan:
     f_channel_code: list[int] = []
     f_pcm_start: list[int] = []
     f_byte_offset: list[int] = []
+    f_coded: list[int] = []
+    variable_blocking = False
     s_rows: list[np.ndarray] = []
     s_kind: list[int] = []
     s_order: list[int] = []
@@ -78,8 +80,10 @@ def build_plan(data: bytes, check_crc: bool = False) -> StreamPlan:
         sample_rate_code = (header_word >> 8) & 0xF
         channels_code = (header_word >> 4) & 0xF
         bd_code = (header_word >> 1) & 0x7
+        if not f_block_size:
+            variable_blocking = bool((header_word >> 16) & 1)
 
-        read_coded_number(br)
+        coded_number = read_coded_number(br)
 
         if block_size_code == fmt.BS_RESERVED:
             raise InvalidFrameHeader()
@@ -209,6 +213,7 @@ def build_plan(data: bytes, check_crc: bool = False) -> StreamPlan:
         f_channel_code.append(channels_code)
         f_pcm_start.append(pcm_start)
         f_byte_offset.append(frame_start_byte)
+        f_coded.append(coded_number)
         offset = expected_end
         pcm_start += block_size
 
@@ -227,6 +232,8 @@ def build_plan(data: bytes, check_crc: bool = False) -> StreamPlan:
         channel_code=np.asarray(f_channel_code, dtype=np.int32),
         pcm_start=np.asarray(f_pcm_start, dtype=np.int64),
         frame_byte_offset=np.asarray(f_byte_offset, dtype=np.int64),
+        coded_number=np.asarray(f_coded, dtype=np.int64),
+        variable_blocking=variable_blocking,
         rows=rows,
         kind=np.asarray(s_kind, dtype=np.int32),
         order=np.asarray(s_order, dtype=np.int32),

@@ -63,6 +63,7 @@ class StreamPlan:
     channel_code: np.ndarray      # [F] i32
     pcm_start: np.ndarray         # [F] i64 per-channel sample offset
     frame_byte_offset: np.ndarray  # [F] i64
+    coded_number: np.ndarray      # [F] i64 (frame idx / first sample)
 
     # subframe-level
     rows: np.ndarray              # [S, B] stream dtype
@@ -75,6 +76,7 @@ class StreamPlan:
     wide: np.ndarray              # [S] bool
 
     total_samples: int            # per-channel, actual decoded
+    variable_blocking: bool = False
     stats: dict = field(default_factory=dict)
     #: Optional Rice-group offset table (native indexer emit_groups=True)
     #: for the TPU bit-unpack kernel: {"off": [S, GPB] i64 absolute bit

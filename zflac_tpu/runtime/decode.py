@@ -33,9 +33,10 @@ def _bucket_block(b: int) -> int:
     return max(128, -(-b // 128) * 128)
 
 
-def _run_reconstruct(plan: StreamPlan):
+def _run_reconstruct(plan: StreamPlan, async_: bool = False):
     """Pad plan arrays to bucketed static shapes and run the jitted
-    reconstruction. Returns host PCM [F, B, C] (container dtype)."""
+    reconstruction. Returns host PCM [F, B, C] (container dtype), or
+    (device array, F) when async_ (dispatch without blocking)."""
     F = plan.num_frames
     C = plan.channels
     S = plan.num_subframes
@@ -108,6 +109,8 @@ def _run_reconstruct(plan: StreamPlan):
             pcm = run()
     else:
         pcm = run()
+    if async_:
+        return pcm, F  # device array (dispatch is asynchronous)
     return np.asarray(pcm)[:F]
 
 
@@ -247,6 +250,71 @@ def _assemble(plan: StreamPlan, pcm: np.ndarray) -> np.ndarray:
         start = plan.pcm_start[f] * C
         out[start:start + bs[f] * C] = pcm[f, :bs[f], :].reshape(-1)
     return out
+
+
+def decode_pipelined(data: bytes, chunk_frames: int = 64,
+                     verify_md5: bool = True) -> DecodedFLAC:
+    """Pipeline-parallel decode (the PP axis of SURVEY.md §2.3): the
+    host indexes chunk i+1 while the accelerator reconstructs chunk i —
+    jax dispatch is asynchronous, so each chunk's reconstruction is
+    launched without blocking and collected in order afterwards. Chunks
+    pad to the same bucketed shapes, so compilation is reused."""
+    from ..bitio import BitReader
+    from ..index.native_indexer import index_range, native_available
+    from ..oracle import parse_metadata
+
+    if not native_available():
+        return decode(data, verify_md5=verify_md5, engine="tpu")
+
+    br = BitReader(data)
+    info = parse_metadata(br)
+    pos = br.pos // 8
+    # Estimate bytes per chunk from the stream size / nominal frames.
+    nominal = max(info.max_block_size, 1)
+    total_frames = max(1, -(-max(info.total_samples, 1) // nominal))
+    chunk_bytes = max(1 << 16,
+                      (len(data) - pos) * chunk_frames // total_frames)
+
+    launched = []  # (plan, device_pcm, F)
+    while pos < len(data):
+        stop = min(pos + chunk_bytes, len(data))
+        plan, landed = index_range(data, pos, stop, info)
+        if plan.num_frames == 0:
+            break
+        dev, F = _run_reconstruct(plan, async_=True)  # non-blocking
+        launched.append((plan, dev, F))
+        if landed <= pos:
+            break
+        pos = landed
+
+    if not launched:
+        return decode(data, verify_md5=verify_md5, engine="tpu")
+
+    C = launched[0][0].channels
+    total = sum(p.total_samples for p, _, _ in launched)
+    dtype = container_dtype(info.bits_per_sample)
+    out = np.empty(total * C, dtype=dtype)
+    at = 0
+    for plan, dev, F in launched:
+        pcm = np.asarray(dev)[:F]   # blocks; later chunks still running
+        part = _assemble(plan, pcm)
+        out[at:at + len(part)] = part
+        at += len(part)
+
+    if verify_md5:
+        if not verify_stream_md5(out, info.bits_per_sample, info.md5):
+            raise InvalidChecksum("stream MD5 mismatch")
+    shift = fmt.normalization_shift(info.bits_per_sample)
+    if shift:
+        out = out << shift
+    return DecodedFLAC(
+        channels=C,
+        sample_rate=launched[0][0].sample_rate,
+        bits_per_sample=launched[0][0].bits_per_sample,
+        interleaved=out,
+        stats={"engine": "pipelined", "chunks": len(launched),
+               "frames": sum(p.num_frames for p, _, _ in launched)},
+    )
 
 
 def verify_stream_md5(interleaved: np.ndarray, bps: int,
