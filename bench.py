@@ -20,7 +20,7 @@ import numpy as np
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
-STREAM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 1 << 20))
+STREAM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 1 << 22))
 BLOCK_SIZE = 4096
 REPS = int(os.environ.get("BENCH_REPS", 5))
 

@@ -46,13 +46,16 @@ static void fail(int code) { throw Thrown{code}; }
 // position; 64-bit refill windows.
 struct BitReader {
   const uint8_t* buf;
-  size_t len;       // bytes
-  uint64_t pos;     // absolute bit position
+  size_t len;            // bytes
+  uint64_t pos;          // absolute bit position (bits consumed)
+  uint64_t cache = 0;    // next bits, MSB-aligned
+  unsigned cache_bits = 0;
 
   uint64_t nbits() const { return (uint64_t)len * 8; }
 
   inline uint64_t peek_word(uint64_t bit) const {
-    // 64-bit big-endian window starting at byte bit/8; safe tail handling.
+    // 64-bit big-endian window starting at `bit`; bits past the buffer
+    // read as zero (EOF is enforced by the pos checks, not the loads).
     size_t byte = (size_t)(bit >> 3);
     uint64_t w = 0;
     if (byte + 8 <= len) {
@@ -66,11 +69,30 @@ struct BitReader {
     return w << (bit & 7);
   }
 
+  inline void refill() {
+    // Top up the cache (bits past EOF read as zero; EOF is enforced by
+    // the pos checks). peek_word only yields 64-(at&7) valid top bits.
+    uint64_t at = pos + cache_bits;
+    unsigned valid = 64 - (unsigned)(at & 7);
+    cache |= peek_word(at) >> cache_bits;
+    unsigned nb = cache_bits + valid;
+    cache_bits = nb > 64 ? 64 : nb;
+  }
+
+  inline void seek(uint64_t p) {
+    pos = p;
+    cache = 0;
+    cache_bits = 0;
+  }
+
   inline uint64_t read_bits(unsigned n) {  // n <= 57
     if (pos + n > nbits()) fail(E_END_OF_STREAM);
-    uint64_t w = peek_word(pos);
+    if (cache_bits < n) refill();
+    uint64_t v = n ? (cache >> (64 - n)) : 0;
+    cache <<= n;
+    cache_bits -= n;
     pos += n;
-    return n ? (w >> (64 - n)) : 0;
+    return v;
   }
 
   inline int64_t read_signed(unsigned n) {
@@ -82,26 +104,31 @@ struct BitReader {
   inline uint32_t read_unary() {
     uint64_t count = 0;
     for (;;) {
-      if (pos >= nbits()) fail(E_END_OF_STREAM);
-      uint64_t w = peek_word(pos);
-      if (w == 0) {
-        uint64_t avail = nbits() - pos;
-        uint64_t step = avail < 57 ? avail : 57;
-        if (step == 0) fail(E_END_OF_STREAM);
-        count += step;
-        pos += step;
+      if (cache_bits == 0) {
+        if (pos >= nbits()) fail(E_END_OF_STREAM);
+        refill();
+      }
+      unsigned z = cache ? (unsigned)__builtin_clzll(cache) : 64;
+      if (z >= cache_bits) {
+        // All valid cached bits are zeros; consume and continue.
+        count += cache_bits;
+        pos += cache_bits;
+        cache = 0;
+        cache_bits = 0;
         if (pos >= nbits()) fail(E_END_OF_STREAM);
         continue;
       }
-      unsigned z = __builtin_clzll(w);
       if (pos + z + 1 > nbits()) fail(E_END_OF_STREAM);
       count += z;
       pos += z + 1;
+      // z+1 == 64 would be UB for <<; cache is empty in that case.
+      cache = (z + 1 >= 64) ? 0 : (cache << (z + 1));
+      cache_bits -= z + 1;
       return (uint32_t)count;
     }
   }
 
-  inline void align_byte() { pos = (pos + 7) & ~7ull; }
+  inline void align_byte() { seek((pos + 7) & ~7ull); }
   inline size_t byte_pos() const { return (size_t)(pos >> 3); }
   inline uint32_t read_u8() { return (uint32_t)read_bits(8); }
   inline uint32_t read_u16() { return (uint32_t)read_bits(16); }
@@ -109,7 +136,7 @@ struct BitReader {
   inline uint64_t read_u32() { return read_bits(32); }
   inline void skip_bytes(uint64_t n) {
     if (pos + n * 8 > nbits()) fail(E_END_OF_STREAM);
-    pos += n * 8;
+    seek(pos + n * 8);
   }
 };
 
@@ -322,6 +349,47 @@ static T* alloc_copy(const std::vector<T>& v) {
   if (!p) fail(E_UNIMPLEMENTED);
   if (!v.empty()) std::memcpy(p, v.data(), v.size() * sizeof(T));
   return p;
+}
+
+
+// Order-specialized LPC restore: a compile-time order lets the inner
+// dot unroll (the hot loop of the reference's comptime dispatch,
+// zflac.zig:525-533).
+template <typename V, int ORD>
+static inline void lpc_restore_n(V* work, uint32_t bs,
+                                 const int64_t* coef, uint32_t shift) {
+  for (uint32_t i = ORD; i < bs; i++) {
+    int64_t pred = 0;
+    for (int j = 0; j < ORD; j++)
+      pred += coef[j] * (int64_t)work[i - 1 - j];
+    work[i] += (V)(pred >> shift);
+  }
+}
+
+template <typename V>
+static inline void lpc_restore(V* work, uint32_t bs, uint32_t order,
+                               const int64_t* coef, uint32_t shift) {
+  switch (order) {
+    case 1: return lpc_restore_n<V, 1>(work, bs, coef, shift);
+    case 2: return lpc_restore_n<V, 2>(work, bs, coef, shift);
+    case 3: return lpc_restore_n<V, 3>(work, bs, coef, shift);
+    case 4: return lpc_restore_n<V, 4>(work, bs, coef, shift);
+    case 5: return lpc_restore_n<V, 5>(work, bs, coef, shift);
+    case 6: return lpc_restore_n<V, 6>(work, bs, coef, shift);
+    case 7: return lpc_restore_n<V, 7>(work, bs, coef, shift);
+    case 8: return lpc_restore_n<V, 8>(work, bs, coef, shift);
+    case 9: return lpc_restore_n<V, 9>(work, bs, coef, shift);
+    case 10: return lpc_restore_n<V, 10>(work, bs, coef, shift);
+    case 11: return lpc_restore_n<V, 11>(work, bs, coef, shift);
+    case 12: return lpc_restore_n<V, 12>(work, bs, coef, shift);
+    default:
+      for (uint32_t i = order; i < bs; i++) {
+        int64_t pred = 0;
+        for (uint32_t j = 0; j < order; j++)
+          pred += coef[j] * (int64_t)work[i - 1 - j];
+        work[i] += (V)(pred >> shift);
+      }
+  }
 }
 
 // ---- shared one-frame parser ----
@@ -639,7 +707,7 @@ static bool parallel_index(const uint8_t* data, size_t len, int check_crc,
   size_t span = len - first_frame_byte;
   unsigned T = std::thread::hardware_concurrency();
   if (T < 2 || span < (1u << 20)) return false;
-  if (T > 8) T = 8;
+  if (T > 16) T = 16;
 
   // Phase 1: anchors (parallel).
   std::vector<int64_t> anchors(T, -1);
@@ -1101,12 +1169,7 @@ static FrameInfo decode_one_frame(BitReader& br, const uint8_t* data,
       decode_residuals<V>(br, res, block_size, order);
       res.resize(block_size - order);
       std::memcpy(work.data() + order, res.data(), res.size() * sizeof(V));
-      for (uint32_t i = order; i < block_size; i++) {
-        int64_t pred = 0;
-        for (uint32_t j = 0; j < order; j++)
-          pred += coef[j] * (int64_t)work[i - 1 - j];
-        work[i] += (V)(pred >> shift);
-      }
+      lpc_restore<V>(work.data(), block_size, order, coef, shift);
     } else {
       fail(E_INVALID_SUBFRAME_HEADER);
     }
@@ -1206,7 +1269,7 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
   size_t span = len - first_frame_byte;
   unsigned T = std::thread::hardware_concurrency();
   if (T < 2 || span < (1u << 20)) return false;
-  if (T > 8) T = 8;
+  if (T > 16) T = 16;
   uint32_t si_bps = out->si_bits_per_sample;
 
   std::vector<int64_t> anchors(T, -1);
@@ -1417,12 +1480,8 @@ static void reconstruct_frames_range(const Plan* p, size_t f_lo,
         int64_t coef[32];
         const int32_t* cr = p->coeffs_rev + s * 32;
         for (int j = 0; j < order; j++) coef[j] = cr[31 - j];
-        for (uint32_t i = (uint32_t)order; i < bs; i++) {
-          int64_t pred = 0;
-          for (int j = 0; j < order; j++)
-            pred += coef[j] * (int64_t)work[i - 1 - j];
-          work[i] += (V)(pred >> shift);
-        }
+        lpc_restore<V>(work.data(), bs, (uint32_t)order, coef,
+                       (uint32_t)shift);
       }  // kind==1 verbatim: row already holds the samples
       if ((int)ch == side) {
         side_buf.resize(bs);
@@ -1462,7 +1521,7 @@ static int reconstruct_t(const Plan* p, void** out_samples) {
   if (T < 2 || F < 8) {
     reconstruct_frames_range<V, C>(p, 0, F, out);
   } else {
-    if (T > 8) T = 8;
+    if (T > 16) T = 16;
     std::vector<std::thread> th;
     for (unsigned t = 0; t < T; t++) {
       size_t lo = F * t / T, hi = F * (t + 1) / T;
@@ -1598,7 +1657,7 @@ int zfi_index_range(const uint8_t* data, size_t len, uint64_t start_byte,
         range.g_off.resize(g_cp);
         range.g_k.resize(g_cp);
         range.g_depth.resize(g_cp);
-        br.pos = pos_cp;
+        br.seek(pos_cp);
         err = t.code;
         break;
       }
