@@ -27,3 +27,22 @@ def test_pipelined_highres():
     data = encode(pcm, 96000, 24, EncoderConfig(block_size=1024))
     r = decode_pipelined(data, chunk_frames=4)
     np.testing.assert_array_equal(r.interleaved, expected_output(pcm, 24))
+
+
+def test_stream_decode_chunks():
+    from zflac_tpu.runtime.decode import stream_decode
+    pcm = correlated_stereo(32 * 1024, 16, seed=33)
+    data = encode(pcm, 44100, 16, EncoderConfig(block_size=2048))
+    chunks = list(stream_decode(data, chunk_frames=4))
+    assert len(chunks) >= 2
+    np.testing.assert_array_equal(np.concatenate(chunks),
+                                  expected_output(pcm, 16))
+
+
+def test_stream_decode_normalized():
+    # 12-bit stream: chunks carry the normalization shift.
+    pcm = tone_mix(8 * 1024, 2, 12, seed=34)
+    data = encode(pcm, 44100, 12, EncoderConfig(block_size=1024))
+    from zflac_tpu.runtime.decode import stream_decode
+    out = np.concatenate(list(stream_decode(data, chunk_frames=2)))
+    np.testing.assert_array_equal(out, expected_output(pcm, 12))

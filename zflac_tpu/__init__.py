@@ -86,6 +86,16 @@ def decode_pipelined(data, **kwargs):
     return _dp(bytes(data), **kwargs)
 
 
+def stream_decode(data, **kwargs):
+    """Generator yielding PCM chunks as they decode (playback-style
+    consumption; runtime/decode.py)."""
+    from .runtime.decode import stream_decode as _sd
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        with open(data, "rb") as f:
+            data = f.read()
+    return _sd(bytes(data), **kwargs)
+
+
 def probe(data):
     """Parse stream metadata (tags, seek table, pictures) without
     decoding audio (metadata.py)."""

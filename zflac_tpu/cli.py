@@ -133,6 +133,67 @@ def cmd_verify(args) -> int:
     return 0
 
 
+def _read_wav(path: str):
+    """Minimal RIFF/WAVE reader (PCM 8/16/24/32-bit)."""
+    import numpy as np
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE", "not a WAV"
+    pos = 12
+    fmt_chunk = None
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_chunk = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)
+    assert fmt_chunk and payload is not None, "missing fmt/data chunk"
+    _, channels, rate, _, block_align, bits = fmt_chunk
+    bytes_per = bits // 8
+    n = len(payload) // block_align
+    if bits == 8:
+        pcm = np.frombuffer(payload, np.uint8).astype(np.int64) - 128
+    elif bits == 16:
+        pcm = np.frombuffer(payload, "<i2").astype(np.int64)
+    elif bits == 24:
+        raw = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        pcm = (raw[:, 0].astype(np.int64)
+               | (raw[:, 1].astype(np.int64) << 8)
+               | (raw[:, 2].astype(np.int64) << 16))
+        pcm = (pcm ^ (1 << 23)) - (1 << 23)
+    elif bits == 32:
+        pcm = np.frombuffer(payload, "<i4").astype(np.int64)
+    else:
+        raise ValueError(f"unsupported WAV depth {bits}")
+    return pcm[:n * channels].reshape(n, channels), rate, bits
+
+
+def cmd_encode(args) -> int:
+    """Encode WAV (or raw PCM) to FLAC — a capability the reference
+    lacks entirely (zflac is decode-only)."""
+    from zflac_tpu.encoder import EncoderConfig, encode
+    pcm, rate, bits = _read_wav(args.input)
+    cfg = EncoderConfig(block_size=args.block_size,
+                        max_lpc_order=args.lpc_order)
+    if args.tag:
+        cfg.tags = dict(t.split("=", 1) for t in args.tag)
+    if args.seektable:
+        cfg.seektable_every = args.seektable
+    t0 = time.perf_counter()
+    data = encode(pcm, rate, bits, cfg)
+    dt = time.perf_counter() - t0
+    with open(args.output, "wb") as f:
+        f.write(data)
+    raw = pcm.size * (bits // 8)
+    print(f"{args.output}: {len(data)} bytes "
+          f"({len(data) / raw:.1%} of PCM, {dt:.1f}s)")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import numpy as np
     import zflac_tpu
@@ -178,6 +239,16 @@ def main(argv=None) -> int:
     v.add_argument("input")
     v.add_argument("--crc", action="store_true")
     v.set_defaults(fn=cmd_verify)
+
+    e = sub.add_parser("encode", help="encode WAV to FLAC")
+    e.add_argument("input")
+    e.add_argument("output")
+    e.add_argument("--block-size", type=int, default=4096)
+    e.add_argument("--lpc-order", type=int, default=8)
+    e.add_argument("--tag", action="append", metavar="KEY=VALUE")
+    e.add_argument("--seektable", type=int, metavar="N",
+                   help="seek point every N samples")
+    e.set_defaults(fn=cmd_encode)
 
     b = sub.add_parser("bench", help="time repeated decodes")
     b.add_argument("input")

@@ -27,6 +27,10 @@ from ..errors import (
 )
 from ..oracle import parse_metadata, read_coded_number, _decode_residuals
 from ..plan import StreamPlan, fixed_seeds_from_warmup, stream_dtype
+from ..utils.log import get_logger
+
+_log_frame = get_logger("frame")
+_log_subframe = get_logger("subframe")
 
 
 def build_plan(data: bytes, check_crc: bool = False) -> StreamPlan:
@@ -142,6 +146,14 @@ def build_plan(data: bytes, check_crc: bool = False) -> StreamPlan:
             if crc8(data[frame_start_byte:br.pos // 8 - 1]) != header_crc:
                 raise InvalidChecksum("frame header CRC-8 mismatch")
 
+        if _log_frame.isEnabledFor(10):  # DEBUG
+            # Per-frame trace line (zflac.zig:412-421).
+            _log_frame.debug(
+                "frame %d: byte %d, coded %d, bs %d, sr %d, chmode %d, "
+                "bd code %d", len(f_block_size), frame_start_byte,
+                coded_number, block_size, frame_sample_rate,
+                channels_code, bd_code)
+
         side = fmt.side_channel(channels_code)
         for channel in range(channel_count):
             if br.read_bits(1) != 0:
@@ -194,6 +206,11 @@ def build_plan(data: bytes, check_crc: bool = False) -> StreamPlan:
                 # widened class for hardened decoding.
                 wide = False
 
+            if _log_subframe.isEnabledFor(10):
+                # Per-subframe trace line (zflac.zig:446,456,476,516).
+                _log_subframe.debug(
+                    "  subframe #%d: kind %d order %d wasted %d shift %d",
+                    channel, kind, order, wasted, shift)
             s_rows.append(row)
             s_kind.append(kind)
             s_order.append(order)

@@ -370,6 +370,13 @@ def decode(data: bytes, check_crc: bool = False,
     if len(samples) != offset:
         samples = samples[:offset]
 
+    if frame_count == 0:
+        # No frames: report STREAMINFO parameters (the reference leaves
+        # these undefined, zflac.zig:322-324).
+        channel_count = stream_info.channel_count
+        sample_rate = stream_info.sample_rate
+        bits_per_sample = stream_info.bits_per_sample
+
     arr = np.array(samples, dtype=np.int64).astype(dtype)
 
     # ---- MD5 (zflac.zig:267-280): low ceil(bps/8) LE bytes per sample ----

@@ -317,6 +317,52 @@ def decode_pipelined(data: bytes, chunk_frames: int = 64,
     )
 
 
+def stream_decode(data: bytes, chunk_frames: int = 64):
+    """Streaming decode: yields interleaved PCM chunks (normalized
+    container samples) as they are produced, overlapping host indexing
+    with device compute like decode_pipelined. The playback-style
+    consumer API (the reference's example app pumps samples from a
+    callback, examples/example.zig)."""
+    from ..bitio import BitReader
+    from ..index.native_indexer import index_range, native_available
+    from ..oracle import parse_metadata
+
+    br = BitReader(data)
+    info = parse_metadata(br)
+    pos = br.pos // 8
+    shift = fmt.normalization_shift(info.bits_per_sample)
+
+    if not native_available():
+        r = decode(data, verify_md5=False)
+        yield r.interleaved
+        return
+
+    nominal = max(info.max_block_size, 1)
+    total_frames = max(1, -(-max(info.total_samples, 1) // nominal))
+    chunk_bytes = max(1 << 16,
+                      (len(data) - pos) * chunk_frames // total_frames)
+
+    pending = None  # (plan, device array, F)
+    while pos < len(data):
+        stop = min(pos + chunk_bytes, len(data))
+        plan, landed = index_range(data, pos, stop, info)
+        if plan.num_frames == 0:
+            break
+        launched = (plan, *_run_reconstruct(plan, async_=True))
+        if pending is not None:
+            p, dev, F = pending
+            part = _assemble(p, np.asarray(dev)[:F])
+            yield part << shift if shift else part
+        pending = launched
+        if landed <= pos:
+            break
+        pos = landed
+    if pending is not None:
+        p, dev, F = pending
+        part = _assemble(p, np.asarray(dev)[:F])
+        yield part << shift if shift else part
+
+
 def verify_stream_md5(interleaved: np.ndarray, bps: int,
                       expected: bytes) -> bool:
     """MD5 over the smallest-whole-byte little-endian sample bytes
@@ -345,9 +391,9 @@ def _decode_native(data: bytes, check_crc: bool,
     if shift:
         arr = arr << shift
     return DecodedFLAC(
-        channels=meta["channels"],
+        channels=meta["channels"] or meta.get("si_channels", 1),
         sample_rate=meta["sample_rate"],
-        bits_per_sample=meta["bits_per_sample"],
+        bits_per_sample=meta["bits_per_sample"] or si_bps,
         interleaved=arr,
         stats={"frames": meta["frames"], "engine": "native"},
     )
@@ -409,9 +455,10 @@ def decode(data: bytes, check_crc: bool = False, verify_md5: bool = True,
     stats = dict(plan.stats)
     stats["engine"] = "xla"
     return DecodedFLAC(
-        channels=plan.channels,
-        sample_rate=plan.sample_rate,
-        bits_per_sample=plan.bits_per_sample,
+        channels=plan.channels or plan.info.channel_count,
+        sample_rate=plan.sample_rate or plan.info.sample_rate,
+        bits_per_sample=plan.bits_per_sample
+        or plan.info.bits_per_sample,
         interleaved=interleaved,
         stats=stats,
     )
