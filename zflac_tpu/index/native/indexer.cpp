@@ -354,42 +354,64 @@ static T* alloc_copy(const std::vector<T>& v) {
 
 // Order-specialized LPC restore: a compile-time order lets the inner
 // dot unroll (the hot loop of the reference's comptime dispatch,
-// zflac.zig:525-533).
-template <typename V, int ORD>
+// zflac.zig:525-533). ACC is the accumulator type: int32 when the
+// width predicate guarantees no overflow (identical results, but the
+// dot vectorizes), int64 otherwise.
+template <typename V, typename ACC, int ORD>
 static inline void lpc_restore_n(V* work, uint32_t bs,
                                  const int64_t* coef, uint32_t shift) {
+  ACC c[ORD];
+  for (int j = 0; j < ORD; j++) c[j] = (ACC)coef[j];
   for (uint32_t i = ORD; i < bs; i++) {
-    int64_t pred = 0;
+    ACC pred = 0;
     for (int j = 0; j < ORD; j++)
-      pred += coef[j] * (int64_t)work[i - 1 - j];
+      pred += c[j] * (ACC)work[i - 1 - j];
     work[i] += (V)(pred >> shift);
   }
 }
 
-template <typename V>
-static inline void lpc_restore(V* work, uint32_t bs, uint32_t order,
-                               const int64_t* coef, uint32_t shift) {
+template <typename V, typename ACC>
+static inline void lpc_restore_acc(V* work, uint32_t bs, uint32_t order,
+                                   const int64_t* coef, uint32_t shift) {
   switch (order) {
-    case 1: return lpc_restore_n<V, 1>(work, bs, coef, shift);
-    case 2: return lpc_restore_n<V, 2>(work, bs, coef, shift);
-    case 3: return lpc_restore_n<V, 3>(work, bs, coef, shift);
-    case 4: return lpc_restore_n<V, 4>(work, bs, coef, shift);
-    case 5: return lpc_restore_n<V, 5>(work, bs, coef, shift);
-    case 6: return lpc_restore_n<V, 6>(work, bs, coef, shift);
-    case 7: return lpc_restore_n<V, 7>(work, bs, coef, shift);
-    case 8: return lpc_restore_n<V, 8>(work, bs, coef, shift);
-    case 9: return lpc_restore_n<V, 9>(work, bs, coef, shift);
-    case 10: return lpc_restore_n<V, 10>(work, bs, coef, shift);
-    case 11: return lpc_restore_n<V, 11>(work, bs, coef, shift);
-    case 12: return lpc_restore_n<V, 12>(work, bs, coef, shift);
+    case 1: return lpc_restore_n<V, ACC, 1>(work, bs, coef, shift);
+    case 2: return lpc_restore_n<V, ACC, 2>(work, bs, coef, shift);
+    case 3: return lpc_restore_n<V, ACC, 3>(work, bs, coef, shift);
+    case 4: return lpc_restore_n<V, ACC, 4>(work, bs, coef, shift);
+    case 5: return lpc_restore_n<V, ACC, 5>(work, bs, coef, shift);
+    case 6: return lpc_restore_n<V, ACC, 6>(work, bs, coef, shift);
+    case 7: return lpc_restore_n<V, ACC, 7>(work, bs, coef, shift);
+    case 8: return lpc_restore_n<V, ACC, 8>(work, bs, coef, shift);
+    case 9: return lpc_restore_n<V, ACC, 9>(work, bs, coef, shift);
+    case 10: return lpc_restore_n<V, ACC, 10>(work, bs, coef, shift);
+    case 11: return lpc_restore_n<V, ACC, 11>(work, bs, coef, shift);
+    case 12: return lpc_restore_n<V, ACC, 12>(work, bs, coef, shift);
     default:
       for (uint32_t i = order; i < bs; i++) {
-        int64_t pred = 0;
+        ACC pred = 0;
         for (uint32_t j = 0; j < order; j++)
-          pred += coef[j] * (int64_t)work[i - 1 - j];
+          pred += (ACC)coef[j] * (ACC)work[i - 1 - j];
         work[i] += (V)(pred >> shift);
       }
   }
+}
+
+// log2 ceil for the libflac-style accumulator-width predicate.
+static inline unsigned ilog2_ceil(uint32_t v) {
+  unsigned r = 0;
+  while ((1u << r) < v) r++;
+  return r;
+}
+
+template <typename V>
+static inline void lpc_restore(V* work, uint32_t bs, uint32_t order,
+                               const int64_t* coef, uint32_t shift,
+                               uint32_t sample_depth, uint32_t precision) {
+  if (sizeof(V) == 4 &&
+      sample_depth + precision + ilog2_ceil(order ? order : 1) <= 31) {
+    return lpc_restore_acc<V, int32_t>(work, bs, order, coef, shift);
+  }
+  lpc_restore_acc<V, int64_t>(work, bs, order, coef, shift);
 }
 
 // ---- shared one-frame parser ----
@@ -1169,7 +1191,8 @@ static FrameInfo decode_one_frame(BitReader& br, const uint8_t* data,
       decode_residuals<V>(br, res, block_size, order);
       res.resize(block_size - order);
       std::memcpy(work.data() + order, res.data(), res.size() * sizeof(V));
-      lpc_restore<V>(work.data(), block_size, order, coef, shift);
+      lpc_restore<V>(work.data(), block_size, order, coef, shift, depth,
+                     precision);
     } else {
       fail(E_INVALID_SUBFRAME_HEADER);
     }
@@ -1481,7 +1504,7 @@ static void reconstruct_frames_range(const Plan* p, size_t f_lo,
         const int32_t* cr = p->coeffs_rev + s * 32;
         for (int j = 0; j < order; j++) coef[j] = cr[31 - j];
         lpc_restore<V>(work.data(), bs, (uint32_t)order, coef,
-                       (uint32_t)shift);
+                       (uint32_t)shift, 33, 16);  // conservative: i64
       }  // kind==1 verbatim: row already holds the samples
       if ((int)ch == side) {
         side_buf.resize(bs);

@@ -296,7 +296,12 @@ def _plan_to_streamplan(plan, info: StreamInfo) -> StreamPlan:
 def decode_native_parallel(data: bytes, check_crc: bool = False):
     """One-call native decode: parallel (sync-scan) indexing + threaded
     reconstruction. The production host path for host-destined output.
-    Returns (interleaved pre-normalization container samples, meta)."""
+    Returns (interleaved pre-normalization container samples, meta).
+
+    The returned array *borrows* the C buffer (no copy); a finalizer
+    frees it when the array is collected."""
+    import weakref
+
     lib = _load()
     assert lib is not None
     plan = _Plan()
@@ -306,13 +311,24 @@ def decode_native_parallel(data: bytes, check_crc: bool = False):
                                  ctypes.byref(samples_ptr))
     try:
         if rc != 0:
+            lib.zfi_free_samples(samples_ptr)
             msg = "frame CRC mismatch" if rc == 9 else ""
             raise ERROR_MAP.get(rc, err.Unimplemented)(msg)
         from ..format import container_bits
         cb = container_bits(int(plan.si_bits_per_sample))
         n = int(plan.total_samples) * int(plan.channels)
         dtype = {8: np.int8, 16: np.int16, 32: np.int32}[cb]
-        arr = _as_array(samples_ptr, (n,), dtype)
+        if n == 0 or not samples_ptr.value:
+            arr = np.zeros(n, dtype=dtype)
+            lib.zfi_free_samples(samples_ptr)
+        else:
+            ctype = np.ctypeslib.as_ctypes_type(dtype)
+            cbuf = (ctype * n).from_address(samples_ptr.value)
+            arr = np.frombuffer(cbuf, dtype=dtype)
+            # np.frombuffer keeps `cbuf` alive via arr.base; free the C
+            # allocation when the view is garbage-collected.
+            weakref.finalize(cbuf, lib.zfi_free_samples,
+                             ctypes.c_void_p(samples_ptr.value))
         meta = {
             "channels": int(plan.channels),
             "sample_rate": int(plan.sample_rate),
@@ -324,7 +340,6 @@ def decode_native_parallel(data: bytes, check_crc: bool = False):
         return arr, meta
     finally:
         lib.zfi_free(ctypes.byref(plan))
-        lib.zfi_free_samples(samples_ptr)
 
 
 def decode_cpu_native(data: bytes):
