@@ -28,6 +28,24 @@ def test_decode_range(start, count):
         r.interleaved, expected_output(pcm[start:end], 16))
 
 
+def test_decode_range_via_seektable():
+    from zflac_tpu.index.native_indexer import native_available
+    if not native_available():
+        pytest.skip("needs native")
+    pcm = correlated_stereo(128 * 1024, 16, seed=23)
+    data = encode(pcm, 44100, 16,
+                  EncoderConfig(block_size=4096, seektable_every=16384))
+    r = decode_range(data, 100000, 4000)
+    assert r.stats["engine"] == "seektable"
+    np.testing.assert_array_equal(
+        r.interleaved, expected_output(pcm[100000:104000], 16))
+    # Range straddling a seek point boundary.
+    r2 = decode_range(data, 16384 - 100, 300)
+    np.testing.assert_array_equal(
+        r2.interleaved,
+        expected_output(pcm[16384 - 100:16384 + 200], 16))
+
+
 def test_decode_range_variable_blocking():
     pcm = tone_mix(8000, 2, 16, seed=22)
     data = encode(pcm, 44100, 16,

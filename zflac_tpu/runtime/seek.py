@@ -49,12 +49,23 @@ def _slice_plan(plan, f0: int, f1: int):
 
 
 def decode_range(data: bytes, start_sample: int, num_samples: int,
-                 prefer_native: bool = True) -> DecodedFLAC:
+                 prefer_native: bool = True,
+                 use_seektable: bool = True) -> DecodedFLAC:
     """Decode only the frames covering [start_sample, start_sample +
     num_samples) and trim to exactly that sample range. Stream MD5
-    cannot be verified for a partial decode."""
+    cannot be verified for a partial decode.
+
+    With use_seektable, a SEEKTABLE metadata block (or, failing that, a
+    sync-scan anchor estimate) limits indexing to the needed byte range
+    instead of walking the whole stream — O(range) seeks into huge
+    files."""
     from ..index import build_plan
     from .decode import _assemble, _run_reconstruct
+
+    if use_seektable:
+        r = _decode_range_indexed(data, start_sample, num_samples)
+        if r is not None:
+            return r
 
     plan = build_plan(data, prefer_native=prefer_native)
     end_sample = min(start_sample + num_samples, plan.total_samples)
@@ -89,6 +100,73 @@ def decode_range(data: bytes, start_sample: int, num_samples: int,
         interleaved=interleaved,
         stats={"frames": f1 - f0, "engine": "seek",
                "first_frame": f0},
+    )
+
+
+def _decode_range_indexed(data: bytes, start_sample: int,
+                          num_samples: int):
+    """Seek via SEEKTABLE: index only from the nearest preceding seek
+    point to the end of the requested range. Returns None when the
+    fast path does not apply (no native indexer, no usable seek point,
+    or a variable-blocking stream whose positions cannot be derived
+    from frame numbers alone)."""
+    from ..index.native_indexer import index_range, native_available
+    from ..metadata import probe
+    from .decode import _assemble, _run_reconstruct
+
+    if not native_available():
+        return None
+    meta = probe(data)
+    pts = [p for p in meta.seek_points if p[0] <= start_sample]
+    if not pts:
+        return None
+    info = meta.streaminfo
+    base_sample, rel_byte, _ = max(pts)
+    start_byte = meta.first_frame_byte + rel_byte
+
+    end_sample = start_sample + num_samples
+    if info.total_samples:
+        end_sample = min(end_sample, info.total_samples)
+    if end_sample <= start_sample:
+        return None
+
+    # Index forward from the seek point, bounding the scan by a frame
+    # size estimate first and extending only if coverage falls short.
+    blk = max(info.min_block_size, 1)
+    needed_frames = -(-(end_sample - base_sample) // blk) + 2
+    frame_cap = max(info.max_frame_size, 1 << 16)
+    stop = min(len(data), start_byte + needed_frames * frame_cap)
+    plan, landed = index_range(data, start_byte, stop, info)
+    if (base_sample + plan.total_samples < end_sample
+            and landed < len(data)):
+        plan, _ = index_range(data, start_byte, len(data), info)
+    covered = base_sample
+    f1 = 0
+    while f1 < plan.num_frames and covered < end_sample:
+        covered += int(plan.block_size[f1])
+        f1 += 1
+    if f1 == 0 or covered < end_sample:
+        return None
+    sub = _slice_plan(plan, 0, f1)
+
+    pcm = _run_reconstruct(sub)
+    interleaved = _assemble(sub, pcm)
+    C = plan.channels
+    lo = (start_sample - base_sample) * C
+    hi = lo + (end_sample - start_sample) * C
+    if lo < 0 or hi > len(interleaved):
+        return None
+    interleaved = interleaved[lo:hi]
+    shift = fmt.normalization_shift(info.bits_per_sample)
+    if shift:
+        interleaved = interleaved << shift
+    return DecodedFLAC(
+        channels=C,
+        sample_rate=plan.sample_rate,
+        bits_per_sample=plan.bits_per_sample,
+        interleaved=interleaved,
+        stats={"frames": f1, "engine": "seektable",
+               "seek_point": base_sample},
     )
 
 
