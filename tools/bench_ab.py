@@ -1,0 +1,86 @@
+"""A/B regression benchmark: HEAD's native engine vs a pinned prior
+revision, the analog of the reference's zbench harness which times the
+current build against a pinned previous release of itself
+(/root/reference/benchmarks/std_subset.zig, build.zig.zon:16-19).
+
+Builds the indexer from the given git rev into a scratch .so and times
+both on the cached benchmark stream.
+
+Usage: python tools/bench_ab.py [REV] (default HEAD~1)
+"""
+
+import ctypes
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from zflac_tpu.index.native_indexer import _Plan  # noqa: E402
+
+
+def build_rev(rev: str) -> str:
+    tmp = tempfile.mkdtemp(prefix="zflac_ab_")
+    src = os.path.join(tmp, "indexer.cpp")
+    with open(src, "wb") as f:
+        f.write(subprocess.check_output(
+            ["git", "-C", REPO, "show",
+             f"{rev}:zflac_tpu/index/native/indexer.cpp"]))
+    so = os.path.join(tmp, "lib.so")
+    subprocess.check_call(["g++", "-O3", "-march=native", "-std=c++17",
+                           "-shared", "-fPIC", "-pthread", "-o", so, src])
+    return so
+
+
+def bench_so(path: str, data: bytes, reps: int = 9) -> float:
+    lib = ctypes.CDLL(path)
+    lib.zfi_decode_parallel.restype = ctypes.c_int
+    lib.zfi_decode_parallel.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.POINTER(_Plan), ctypes.POINTER(ctypes.c_void_p)]
+    lib.zfi_free.argtypes = [ctypes.POINTER(_Plan)]
+    lib.zfi_free_samples.argtypes = [ctypes.c_void_p]
+    times = []
+    for _ in range(reps):
+        plan = _Plan()
+        sp = ctypes.c_void_p()
+        t0 = time.perf_counter()
+        rc = lib.zfi_decode_parallel(data, len(data), 0,
+                                     ctypes.byref(plan), ctypes.byref(sp))
+        times.append(time.perf_counter() - t0)
+        assert rc == 0, rc
+        lib.zfi_free(ctypes.byref(plan))
+        lib.zfi_free_samples(sp)
+    return float(np.median(times))
+
+
+def main() -> int:
+    rev = sys.argv[1] if len(sys.argv) > 1 else "HEAD~1"
+    sys.path.insert(0, REPO)
+    import bench as benchmod
+    data = benchmod.get_stream()
+
+    cur_so = os.path.join(REPO, "zflac_tpu", "index", "native",
+                          "libzflac_index.so")
+    t_cur = bench_so(cur_so, data)
+    # NOTE: the prior .so is loaded with the CURRENT _Plan layout; revs
+    # that predate a layout change cannot be A/B'd safely.
+    old_so = build_rev(rev)
+    t_old = bench_so(old_so, data)
+    print(json.dumps({
+        "metric": "native_decode_ab",
+        "head_ms": round(t_cur * 1e3, 2),
+        f"{rev}_ms": round(t_old * 1e3, 2),
+        "speedup": round(t_old / t_cur, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

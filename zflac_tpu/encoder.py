@@ -42,6 +42,8 @@ class EncoderConfig:
     #: Force escaped (raw) partitions.
     force_escape: bool = False
     max_lpc_order: int = 8
+    #: Quantized LPC coefficient precision in bits (libflac uses 15).
+    lpc_precision: int = 14
     #: Use the variable blocking strategy (sample-number coded numbers).
     variable_blocking: bool = False
     #: Store sample rate / block size / bit depth via uncommon paths.
@@ -268,7 +270,7 @@ def _encode_subframe(bw: BitWriter, samples: list[int], sub_bps: int,
                          block_size, order, cfg)
     elif mode[0] == "lpc":
         order = mode[1]
-        precision = 14
+        precision = cfg.lpc_precision
         coeffs, shift = _lpc_analyze(samples, order, precision)
         if all(c == 0 for c in coeffs):
             coeffs[0] = 1 << max(shift, 0)  # degenerate: predict s[i-1]

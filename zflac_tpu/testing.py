@@ -135,6 +135,14 @@ def make_corpus() -> dict[str, tuple[bytes, np.ndarray, int, int]]:
         EncoderConfig(block_size=4096, partition_order=8))
     add("escaped partitions", noise(4096, 2, 16, seed=11), 44100, 16,
         EncoderConfig(block_size=1024, force_escape=True))
+    # Coefficient precision sweep: 15 matches libflac defaults; 8 takes
+    # the narrow-accumulator fast paths.
+    add("lpc precision 15", tone_mix(6000, 2, 16, seed=24), 44100, 16,
+        EncoderConfig(block_size=1024, subframe_mode=("lpc", 12),
+                      lpc_precision=15))
+    add("lpc precision 8", tone_mix(6000, 2, 16, seed=25), 44100, 16,
+        EncoderConfig(block_size=1024, subframe_mode=("lpc", 8),
+                      lpc_precision=8))
     add("rice2", noise(4096, 2, 24, seed=12, scale=0.99), 96000, 24,
         EncoderConfig(block_size=1024, coding_method=1))
     # Wasted bits (subset 53-54).
