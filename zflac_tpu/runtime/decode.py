@@ -94,15 +94,36 @@ def _run_reconstruct(plan: StreamPlan, async_: bool = False):
         class_idx[name] = padded
 
     def run():
-        return reconstruct(
-            rows, kind, order, wasted, shift, coeffs, seeds, class_idx,
-            channel_code,
+        kw = dict(
             num_channels=C,
             container_bits=fmt.container_bits(plan.info.bits_per_sample),
             do_decorrelate=bool(
                 np.any(plan.channel_code > fmt.CH_INDEPENDENT_MAX)),
             lpc_impl=lpc_impl,
         )
+        if not needs_x64:
+            # Tunneled-TPU fast path: one buffer, one transfer, one
+            # dispatch (runtime/pack.py).
+            from .pack import Packer
+            from .reconstruct import reconstruct_packed
+            p = Packer()
+            p.add("rows", rows)
+            p.add("kind", kind)
+            p.add("order", order)
+            p.add("wasted", wasted)
+            p.add("shift", shift)
+            p.add("coeffs", coeffs)
+            p.add("seeds", seeds)
+            p.add("channel_code", channel_code)
+            for name, idx in class_idx.items():
+                p.add("ci_" + name, idx)
+            buf, spec = p.finish()
+            return reconstruct_packed(
+                buf, spec=spec,
+                class_names=tuple(sorted(class_idx)), **kw)
+        return reconstruct(
+            rows, kind, order, wasted, shift, coeffs, seeds, class_idx,
+            channel_code, **kw)
 
     if needs_x64:
         with jax.enable_x64(True):
@@ -220,10 +241,31 @@ def _run_reconstruct_device(plan: StreamPlan, data: bytes,
         padded[:len(idx)] = idx
         class_idx[name] = padded
 
-    pcm = reconstruct_device_unpack(
-        win_p, pos0, gk, gdepth, gskip, warmups, patch_idx, patch_val,
-        kind, order, wasted, shift, coeffs, seeds, class_idx,
-        channel_code, bs_sub,
+    # Tunneled-TPU fast path: one buffer, one transfer, one dispatch.
+    from .pack import Packer
+    from .reconstruct import reconstruct_device_unpack_packed
+    p = Packer()
+    p.add("windows", win_p)
+    p.add("pos0", pos0)
+    p.add("gk", gk)
+    p.add("gdepth", gdepth)
+    p.add("gskip", gskip)
+    p.add("warmups", warmups)
+    p.add("patch_idx", patch_idx)
+    p.add("patch_val", patch_val)
+    p.add("kind", kind)
+    p.add("order", order)
+    p.add("wasted", wasted)
+    p.add("shift", shift)
+    p.add("coeffs", coeffs)
+    p.add("seeds", seeds)
+    p.add("channel_code", channel_code)
+    p.add("bs_sub", bs_sub)
+    for name, idx in class_idx.items():
+        p.add("ci_" + name, idx)
+    buf, spec = p.finish()
+    pcm = reconstruct_device_unpack_packed(
+        buf, spec=spec, class_names=tuple(sorted(class_idx)),
         num_channels=C,
         container_bits=fmt.container_bits(plan.info.bits_per_sample),
         do_decorrelate=bool(

@@ -175,6 +175,51 @@ def reconstruct(rows, kind, order, wasted, shift, coeffs_rev, fixed_seeds,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("spec", "class_names", "num_channels",
+                     "container_bits", "do_decorrelate", "lpc_impl"))
+def reconstruct_packed(buf, *, spec, class_names, num_channels: int,
+                       container_bits: int, do_decorrelate: bool,
+                       lpc_impl: str = "scan"):
+    """Single-buffer variant of reconstruct(): `buf` is one int32 array
+    holding every plan array (runtime/pack.py) so the tunneled TPU pays
+    one transfer + one dispatch instead of ~15. `spec` (static) maps
+    names to slices; `class_names` lists the kernel classes present."""
+    from .pack import unpack
+    a = unpack(buf, spec)
+    class_idx = {n: a["ci_" + n] for n in class_names}
+    return _reconstruct_core(
+        a["rows"], a["kind"], a["order"], a["wasted"], a["shift"],
+        a["coeffs"], a["seeds"], class_idx, a["channel_code"],
+        num_channels=num_channels, container_bits=container_bits,
+        do_decorrelate=do_decorrelate, lpc_impl=lpc_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "class_names", "num_channels",
+                     "container_bits", "do_decorrelate", "lpc_impl",
+                     "unpack_impl", "B", "gpb"))
+def reconstruct_device_unpack_packed(buf, *, spec, class_names,
+                                     num_channels: int,
+                                     container_bits: int,
+                                     do_decorrelate: bool, lpc_impl: str,
+                                     unpack_impl: str, B: int, gpb: int):
+    """Single-buffer variant of reconstruct_device_unpack()."""
+    from .pack import unpack
+    a = unpack(buf, spec)
+    class_idx = {n: a["ci_" + n] for n in class_names}
+    return _device_unpack_core(
+        a["windows"], a["pos0"], a["gk"], a["gdepth"], a["gskip"],
+        a["warmups"], a["patch_idx"], a["patch_val"], a["kind"],
+        a["order"], a["wasted"], a["shift"], a["coeffs"], a["seeds"],
+        class_idx, a["channel_code"], a["bs_sub"],
+        num_channels=num_channels, container_bits=container_bits,
+        do_decorrelate=do_decorrelate, lpc_impl=lpc_impl,
+        unpack_impl=unpack_impl, B=B, gpb=gpb)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("num_channels", "container_bits", "do_decorrelate",
                      "lpc_impl", "unpack_impl", "B", "gpb"))
 def reconstruct_device_unpack(windows, pos0, gk, gdepth, gskip, warmups,
@@ -193,6 +238,21 @@ def reconstruct_device_unpack(windows, pos0, gk, gdepth, gskip, warmups,
     sparse fixes for kernel-ineligible groups (flat indices into
     [S * B]); bs_sub: [S] per-subframe block size.
     """
+    return _device_unpack_core(
+        windows, pos0, gk, gdepth, gskip, warmups, patch_idx, patch_val,
+        kind, order, wasted, shift, coeffs_rev, fixed_seeds, class_idx,
+        channel_code, bs_sub, num_channels=num_channels,
+        container_bits=container_bits, do_decorrelate=do_decorrelate,
+        lpc_impl=lpc_impl, unpack_impl=unpack_impl, B=B, gpb=gpb)
+
+
+def _device_unpack_core(windows, pos0, gk, gdepth, gskip, warmups,
+                        patch_idx, patch_val, kind, order, wasted,
+                        shift, coeffs_rev, fixed_seeds, class_idx,
+                        channel_code, bs_sub, *, num_channels: int,
+                        container_bits: int, do_decorrelate: bool,
+                        lpc_impl: str, unpack_impl: str, B: int,
+                        gpb: int):
     from ..ops.rice import G, lanes_default, rice_unpack_inline, _unpack_math
 
     S = kind.shape[0]
