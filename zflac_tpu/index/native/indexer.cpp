@@ -226,6 +226,15 @@ struct GroupRec {
   }
 };
 
+// Skim-mode side outputs: warm-up/constant values per subframe and the
+// sparse patch list for positions the unpack kernel cannot produce
+// (invalid groups, misaligned partition layouts, verbatim subframes,
+// short tails). Values are int32 (skim serves int32 streams only).
+struct SkimExtra {
+  std::vector<int32_t> warm;            // [num_subs * 32]
+  std::vector<int32_t> p_sub, p_pos, p_val;
+};
+
 // Extended-UTF-8 coded number (zflac.zig:203-214).
 static uint64_t read_coded_number(BitReader& br) {
   uint32_t first = br.read_u8();
@@ -303,6 +312,135 @@ static void decode_residuals(BitReader& br, std::vector<V>& vals,
   if (rec) rec->end_pos = (int64_t)br.pos;
 }
 
+// ---- measure-only residual scan (skim) ----
+// Walks the exact bits decode_residuals does but materializes no rows:
+// the residual VALUES are recomputed on the accelerator by the Rice
+// bit-unpack kernel (ops/rice.py) from the group table recorded here.
+// Values the kernel cannot produce are emitted as sparse patches. The
+// badness rules must agree exactly with append_groups(): a group this
+// function does not patch must never be invalidated downstream.
+static void skim_residuals(BitReader& br, uint32_t block_size,
+                           uint32_t order, uint32_t sub_rel,
+                           GroupRec& rec, SkimExtra& ex) {
+  uint32_t coding = (uint32_t)br.read_bits(2);
+  if (coding >= 2) fail(E_INVALID_RESIDUAL_CODING_METHOD);
+  uint32_t po = (uint32_t)br.read_bits(4);
+  unsigned pbits = coding == 0 ? 4 : 5;
+  uint32_t escape = coding == 0 ? 0xF : 0x1F;
+  bool aligned = po == 0 || ((block_size >> po) % kGroupG) == 0;
+
+  uint32_t out_pos = order;
+  uint32_t parts = 1u << po;
+
+  auto patch = [&](uint32_t pos, int32_t v) {
+    ex.p_sub.push_back((int32_t)sub_rel);
+    ex.p_pos.push_back((int32_t)pos);
+    ex.p_val.push_back(v);
+  };
+
+  if (!aligned) {
+    // Partition boundaries misaligned with the group grid: the whole
+    // residual span goes to the patch list (rare layouts).
+    for (uint32_t p = 0; p < parts; p++) {
+      uint32_t count = block_size >> po;
+      if (p == 0) {
+        if (count < order) fail(E_INVALID_FRAME_HEADER);
+        count -= order;
+      }
+      uint32_t k = (uint32_t)br.read_bits(pbits);
+      if (k == escape) {
+        uint32_t depth = (uint32_t)br.read_bits(5);
+        for (uint32_t i = 0; i < count; i++)
+          patch(out_pos++, depth ? (int32_t)br.read_signed(depth) : 0);
+      } else {
+        for (uint32_t i = 0; i < count; i++) {
+          uint64_t q = br.read_unary();
+          uint64_t rem = br.read_bits(k);
+          uint64_t zz = (q << k) + rem;
+          patch(out_pos++,
+                (int32_t)((int64_t)(zz >> 1) ^ -(int64_t)(zz & 1)));
+        }
+      }
+    }
+    for (; out_pos < block_size; out_pos++) patch(out_pos, 0);
+    rec.end_pos = (int64_t)br.pos;
+    return;
+  }
+
+  // Aligned path: groups open at out_pos==order and at every multiple
+  // of G. The current group's values ride in a ring so an
+  // out-of-envelope group can be patched exactly.
+  int32_t gbuf[kGroupG];
+  uint32_t gstart = 0;
+  bool gopen = false, gbad = false;
+
+  auto close_group = [&](uint64_t now_pos) {
+    if (!gopen) return;
+    if (!gbad &&
+        (uint64_t)((int64_t)now_pos - rec.off.back()) > kMaxGroupSpanBits)
+      gbad = true;
+    if (gbad) {
+      rec.bad.back() = 1;
+      for (uint32_t pos = gstart; pos < out_pos; pos++)
+        patch(pos, gbuf[pos & (kGroupG - 1)]);
+    }
+    gopen = false;
+    gbad = false;
+  };
+  auto open_group = [&](uint8_t kk, uint8_t dd, bool track) {
+    close_group(br.pos);
+    rec.at.push_back(out_pos);
+    rec.off.push_back((int64_t)br.pos);
+    rec.k.push_back(kk);
+    rec.depth.push_back(dd);
+    rec.bad.push_back(0);
+    gopen = track;  // escape groups never exceed the envelope
+    gbad = false;
+    gstart = out_pos;
+  };
+
+  for (uint32_t p = 0; p < parts; p++) {
+    uint32_t count = block_size >> po;
+    if (p == 0) {
+      if (count < order) fail(E_INVALID_FRAME_HEADER);
+      count -= order;
+    }
+    uint32_t k = (uint32_t)br.read_bits(pbits);
+    if (k == escape) {
+      uint32_t depth = (uint32_t)br.read_bits(5);
+      if (depth == 0) {
+        for (uint32_t i = 0; i < count; i++) {
+          if (out_pos == order || (out_pos & (kGroupG - 1)) == 0)
+            open_group(0xFE, 0, false);
+          out_pos++;
+        }
+      } else {
+        for (uint32_t i = 0; i < count; i++) {
+          if (out_pos == order || (out_pos & (kGroupG - 1)) == 0)
+            open_group(0xFE, (uint8_t)depth, false);
+          br.read_bits(depth);
+          out_pos++;
+        }
+      }
+    } else {
+      for (uint32_t i = 0; i < count; i++) {
+        if (out_pos == order || (out_pos & (kGroupG - 1)) == 0)
+          open_group((uint8_t)k, 0, true);
+        uint64_t q = br.read_unary();
+        uint64_t rem = br.read_bits(k);
+        uint64_t zz = (q << k) + rem;
+        if (q > kMaxQuotient || (zz >> 31) != 0) gbad = true;
+        gbuf[out_pos & (kGroupG - 1)] =
+            (int32_t)((int64_t)(zz >> 1) ^ -(int64_t)(zz & 1));
+        out_pos++;
+      }
+    }
+  }
+  close_group(br.pos);
+  for (; out_pos < block_size; out_pos++) patch(out_pos, 0);
+  rec.end_pos = (int64_t)br.pos;
+}
+
 // ---- result plan (C ABI struct; field order matters for ctypes) ----
 struct Plan {
   uint32_t min_block_size, max_block_size;
@@ -340,6 +478,15 @@ struct Plan {
   int64_t* f_coded_number;   // [F]
   int32_t variable_blocking;  // blocking strategy of frame 0
   int32_t _pad3;
+  // Skim-mode outputs (zfi_index_skim): warm-up/constant values and the
+  // sparse patch list; rows stays null. int32 streams only.
+  int32_t* sk_warm;        // [S, 32]
+  int32_t* sk_patch_sub;   // [P]
+  int32_t* sk_patch_pos;   // [P]
+  int32_t* sk_patch_val;   // [P]
+  int64_t sk_patch_n;
+  int32_t skim;
+  int32_t _pad4;
 };
 
 
@@ -442,6 +589,9 @@ struct Range {
   std::vector<int64_t> g_off;
   std::vector<uint8_t> g_k;
   std::vector<uint8_t> g_depth;
+  // Skim-mode outputs (measure-only index; vals stays empty).
+  SkimExtra ex;
+  bool skim = false;
 };
 
 struct SeqCtx {
@@ -593,23 +743,50 @@ static void parse_frame(BitReader& br, const uint8_t* data,
     sm.count = block_size;
     std::vector<V>& vals = out.vals;
 
+    const bool skim = out.skim;
+    uint32_t sub_rel = (uint32_t)out.subs.size();
+    int32_t* w = nullptr;
+    if (skim) {
+      out.ex.warm.resize(out.ex.warm.size() + 32, 0);
+      w = out.ex.warm.data() + out.ex.warm.size() - 32;
+    }
+
     if (kind == 0) {  // constant
-      vals.push_back((V)br.read_signed(read_depth));
-      vals.insert(vals.end(), block_size - 1, (V)0);
+      V v = (V)br.read_signed(read_depth);
+      if (skim) w[0] = (int32_t)v;
+      else {
+        vals.push_back(v);
+        vals.insert(vals.end(), block_size - 1, (V)0);
+      }
     } else if (kind == 1) {  // verbatim
-      for (uint32_t i = 0; i < block_size; i++)
-        vals.push_back((V)br.read_signed(read_depth));
+      if (skim) {
+        for (uint32_t i = 0; i < block_size; i++) {
+          out.ex.p_sub.push_back((int32_t)sub_rel);
+          out.ex.p_pos.push_back((int32_t)i);
+          out.ex.p_val.push_back((int32_t)br.read_signed(read_depth));
+        }
+      } else {
+        for (uint32_t i = 0; i < block_size; i++)
+          vals.push_back((V)br.read_signed(read_depth));
+      }
     } else if (kind == 2) {  // fixed
       if ((uint32_t)order > block_size) fail(E_INVALID_SUBFRAME_HEADER);
       int64_t warm[4] = {0, 0, 0, 0};
       for (int i = 0; i < order; i++) {
         warm[i] = br.read_signed(read_depth);
-        vals.push_back((V)warm[i]);
+        if (skim) w[i] = (int32_t)warm[i];
+        else vals.push_back((V)warm[i]);
       }
       GroupRec grec;
-      decode_residuals<V>(br, vals, block_size, (uint32_t)order,
-                          emit_groups ? &grec : nullptr);
-      if (emit_groups) append_groups(grec, sm, out);
+      if (skim) {
+        skim_residuals(br, block_size, (uint32_t)order, sub_rel, grec,
+                       out.ex);
+        append_groups(grec, sm, out);
+      } else {
+        decode_residuals<V>(br, vals, block_size, (uint32_t)order,
+                            emit_groups ? &grec : nullptr);
+        if (emit_groups) append_groups(grec, sm, out);
+      }
       // Warm-up finite-difference seeds Delta^j s[j] (plan.py
       // SEED_TRIANGLE).
       static const int tri[4][4] = {
@@ -621,26 +798,38 @@ static void parse_frame(BitReader& br, const uint8_t* data,
       }
     } else {  // LPC
       if ((uint32_t)order > block_size) fail(E_INVALID_SUBFRAME_HEADER);
-      for (int i = 0; i < order; i++)
-        vals.push_back((V)br.read_signed(read_depth));
+      for (int i = 0; i < order; i++) {
+        V v = (V)br.read_signed(read_depth);
+        if (skim) w[i] = (int32_t)v;
+        else vals.push_back(v);
+      }
       uint32_t precision = (uint32_t)br.read_bits(4) + 1;
       sm.shift = (int32_t)br.read_bits(5);
       for (int j = 0; j < order; j++)
         sm.coeffs[31 - j] = (int32_t)br.read_signed(precision);
       GroupRec grec;
-      decode_residuals<V>(br, vals, block_size, (uint32_t)order,
-                          emit_groups ? &grec : nullptr);
-      if (emit_groups) append_groups(grec, sm, out);
+      if (skim) {
+        skim_residuals(br, block_size, (uint32_t)order, sub_rel, grec,
+                       out.ex);
+        append_groups(grec, sm, out);
+      } else {
+        decode_residuals<V>(br, vals, block_size, (uint32_t)order,
+                            emit_groups ? &grec : nullptr);
+        if (emit_groups) append_groups(grec, sm, out);
+      }
       // Mirror the reference: i32 accumulation for <=16-bit streams
       // (InterType, zflac.zig:314-319); safe_lpc re-routes Python-side.
       sm.wide = 0;
       (void)precision;
     }
     // Zero-pad short rows (non-divisible partition layouts leave a
-    // tail; see oracle._decode_residuals).
-    uint64_t added = vals.size() - sm.val_off;
-    if (added < block_size)
-      vals.insert(vals.end(), block_size - added, (V)0);
+    // tail; see oracle._decode_residuals). Skim handles tails as
+    // patches inside skim_residuals.
+    if (!skim) {
+      uint64_t added = vals.size() - sm.val_off;
+      if (added < block_size)
+        vals.insert(vals.end(), block_size - added, (V)0);
+    }
     out.subs.push_back(sm);
   }
 
@@ -670,7 +859,7 @@ static void seq_index(const uint8_t* data, size_t len, int check_crc,
   ctx.expected_channels = si->si_channels;
   ctx.total_count = ctx.expected_channels *
       (ctx.valid_total ? si->si_total_samples : 4096);
-  out.vals.reserve(len);
+  if (!out.skim) out.vals.reserve(len);
 
   for (;;) {
     if (ctx.valid_total && ctx.offset >= ctx.total_count) break;
@@ -760,7 +949,8 @@ static bool parallel_index(const uint8_t* data, size_t len, int check_crc,
       int64_t hi = s + 1 < starts.size() ? starts[s + 1] : (int64_t)len;
       th.emplace_back([&, s, lo, hi] {
         SegResult<V>& r = segs[s];
-        r.range.vals.reserve((size_t)(hi - lo));
+        r.range.skim = out.skim;
+        if (!r.range.skim) r.range.vals.reserve((size_t)(hi - lo));
         BitReader br{data, len, (uint64_t)lo * 8};
         try {
           for (;;) {
@@ -798,10 +988,21 @@ static bool parallel_index(const uint8_t* data, size_t len, int check_crc,
   for (auto& seg : segs) {
     uint64_t val_base = out.vals.size();
     uint32_t grp_base = (uint32_t)out.g_at.size();
+    int32_t sub_base = (int32_t)out.subs.size();
     for (auto sm : seg.range.subs) {
       sm.val_off += val_base;
       if (sm.grp_n) sm.grp_start += grp_base;
       out.subs.push_back(sm);
+    }
+    if (out.skim) {
+      out.ex.warm.insert(out.ex.warm.end(), seg.range.ex.warm.begin(),
+                         seg.range.ex.warm.end());
+      for (int32_t ps : seg.range.ex.p_sub)
+        out.ex.p_sub.push_back(ps + sub_base);
+      out.ex.p_pos.insert(out.ex.p_pos.end(), seg.range.ex.p_pos.begin(),
+                          seg.range.ex.p_pos.end());
+      out.ex.p_val.insert(out.ex.p_val.end(), seg.range.ex.p_val.begin(),
+                          seg.range.ex.p_val.end());
     }
     out.vals.insert(out.vals.end(), seg.range.vals.begin(),
                     seg.range.vals.end());
@@ -881,6 +1082,21 @@ static bool parallel_index(const uint8_t* data, size_t len, int check_crc,
     out.frames.resize(cut);
     out.subs.resize(sub_cut);
     out.vals.resize(val_cut);
+    if (out.skim) {
+      out.ex.warm.resize(sub_cut * 32);
+      size_t wr = 0;
+      for (size_t i = 0; i < out.ex.p_sub.size(); i++) {
+        if (out.ex.p_sub[i] < (int32_t)sub_cut) {
+          out.ex.p_sub[wr] = out.ex.p_sub[i];
+          out.ex.p_pos[wr] = out.ex.p_pos[i];
+          out.ex.p_val[wr] = out.ex.p_val[i];
+          wr++;
+        }
+      }
+      out.ex.p_sub.resize(wr);
+      out.ex.p_pos.resize(wr);
+      out.ex.p_val.resize(wr);
+    }
   }
   *seq_err = OK;
   return true;
@@ -891,7 +1107,8 @@ static bool parallel_index(const uint8_t* data, size_t len, int check_crc,
 template <typename V>
 static int index_stream_t(const uint8_t* data, size_t len, int check_crc,
                           uint32_t si_bps, BitReader br, Plan* out,
-                          int64_t* err_pos, bool emit_groups = false);
+                          int64_t* err_pos, bool emit_groups = false,
+                          bool skim = false);
 
 template <typename V>
 static void pack_range(Range<V>& range, uint32_t si_bps, Plan* out);
@@ -899,25 +1116,27 @@ static void pack_range(Range<V>& range, uint32_t si_bps, Plan* out);
 template <typename V>
 static int index_stream_t(const uint8_t* data, size_t len, int check_crc,
                           uint32_t si_bps, BitReader br, Plan* out,
-                          int64_t* err_pos, bool emit_groups) {
+                          int64_t* err_pos, bool emit_groups, bool skim) {
   size_t first_frame_byte = br.byte_pos();
   Range<V> range;
+  range.skim = skim;
   const char* force_seq = std::getenv("ZFLAC_TPU_SEQ_INDEX");
   bool parallel_ok = false;
   if (!(force_seq && force_seq[0] == '1')) {
     int seq_err = OK;
     parallel_ok = parallel_index<V>(data, len, check_crc, si_bps,
                                     first_frame_byte, out, range, &seq_err,
-                                    emit_groups);
+                                    emit_groups || skim);
     if (parallel_ok && seq_err != OK) fail(seq_err);
     if (!parallel_ok) {
       range = Range<V>{};
+      range.skim = skim;
     }
   }
   SeqCtx ctx;
   if (!parallel_ok) {
     seq_index<V>(data, len, check_crc, si_bps, br, out, range, ctx,
-                 emit_groups);
+                 emit_groups || skim);
   }
   pack_range<V>(range, si_bps, out);
   (void)err_pos;
@@ -972,7 +1191,11 @@ static void pack_range(Range<V>& range, uint32_t si_bps, Plan* out) {
   out->f_pcm_start = alloc_copy(f_pcm);
   out->f_byte_offset = alloc_copy(f_byte);
 
-  V* rows = (V*)std::calloc(S * B ? S * B : 1, sizeof(V));
+  V* rows = nullptr;
+  if (!range.skim) {
+    rows = (V*)std::calloc(S * B ? S * B : 1, sizeof(V));
+    if (!rows) fail(E_UNIMPLEMENTED);
+  }
   int32_t* kind = (int32_t*)std::malloc((S + 1) * sizeof(int32_t));
   int32_t* order = (int32_t*)std::malloc((S + 1) * sizeof(int32_t));
   int32_t* wasted = (int32_t*)std::malloc((S + 1) * sizeof(int32_t));
@@ -981,14 +1204,14 @@ static void pack_range(Range<V>& range, uint32_t si_bps, Plan* out) {
                                           sizeof(int32_t));
   V* seeds = (V*)std::calloc(S * 4 ? S * 4 : 1, sizeof(V));
   uint8_t* wide = (uint8_t*)std::malloc(S + 1);
-  if (!rows || !kind || !order || !wasted || !shift || !coeffs || !seeds ||
-      !wide)
+  if (!kind || !order || !wasted || !shift || !coeffs || !seeds || !wide)
     fail(E_UNIMPLEMENTED);
 
   for (uint64_t s = 0; s < S; s++) {
     const SubMeta& sm = subs[s];
-    std::memcpy(rows + s * B, vals.data() + sm.val_off,
-                sm.count * sizeof(V));
+    if (rows)
+      std::memcpy(rows + s * B, vals.data() + sm.val_off,
+                  sm.count * sizeof(V));
     kind[s] = sm.kind;
     order[s] = sm.order;
     wasted[s] = sm.wasted;
@@ -1030,6 +1253,15 @@ static void pack_range(Range<V>& range, uint32_t si_bps, Plan* out) {
     out->grp_off = goff;
     out->grp_k = gk;
     out->grp_depth = gd;
+  }
+
+  if (range.skim) {
+    out->skim = 1;
+    out->sk_warm = alloc_copy(range.ex.warm);
+    out->sk_patch_sub = alloc_copy(range.ex.p_sub);
+    out->sk_patch_pos = alloc_copy(range.ex.p_pos);
+    out->sk_patch_val = alloc_copy(range.ex.p_val);
+    out->sk_patch_n = (int64_t)range.ex.p_sub.size();
   }
 }
 
@@ -1776,6 +2008,83 @@ int zfi_index(const uint8_t* data, size_t len, int check_crc, Plan* out,
   return zfi_index_ex(data, len, check_crc, 0, out, err_pos);
 }
 
+// Measure-only index for the fully device-side decode: walks the same
+// bits as zfi_index but materializes no residual rows — the plan
+// carries the Rice-group offset table, warm-ups, and sparse patches
+// instead, and the accelerator's bit-unpack kernel recomputes the
+// residual values from the bitstream (ops/rice.py). int32 streams only
+// (returns E_SKIM_UNSUPPORTED=100 otherwise; caller falls back).
+int zfi_index_skim(const uint8_t* data, size_t len, int check_crc,
+                   Plan* out, int64_t* err_pos) {
+  std::memset(out, 0, sizeof(Plan));
+  try {
+    BitReader br{data, len, 0};
+    parse_stream_meta(br, out);
+    uint32_t bps = out->si_bits_per_sample;
+    uint32_t aligned = (bps + 7) & ~7u;
+    if (aligned > 16) return 100;
+    return index_stream_t<int32_t>(data, len, check_crc, bps, br, out,
+                                   err_pos, true, true);
+  } catch (const Thrown& t) {
+    if (err_pos) *err_pos = 0;
+    return t.code;
+  } catch (...) {
+    return E_UNIMPLEMENTED;
+  }
+}
+
+// Skim a byte range [start_byte, stop_byte): whole frames, structural
+// parse only (stream-level rules are the caller's job, as in
+// zfi_index_range). Single-threaded; the chunked pipeline threads
+// around it. STREAMINFO fields must be pre-filled in `out`.
+int zfi_skim_range(const uint8_t* data, size_t len, uint64_t start_byte,
+                   uint64_t stop_byte, Plan* out, int check_crc,
+                   int64_t* landed) {
+  *landed = -1;
+  uint32_t bps = out->si_bits_per_sample;
+  uint32_t aligned = (bps + 7) & ~7u;
+  if (aligned > 16) return 100;
+  try {
+    Range<int32_t> range;
+    range.skim = true;
+    BitReader br{data, len, start_byte * 8};
+    int err = OK;
+    for (;;) {
+      if (br.byte_pos() >= stop_byte) break;
+      if (br.pos + 32 > br.nbits()) break;
+      size_t subs_cp = range.subs.size();
+      size_t g_cp = range.g_at.size();
+      size_t w_cp = range.ex.warm.size();
+      size_t p_cp = range.ex.p_sub.size();
+      uint64_t pos_cp = br.pos;
+      try {
+        parse_frame<int32_t>(br, data, out->si_sample_rate, bps,
+                             check_crc, check_crc, nullptr, range);
+      } catch (const Thrown& t) {
+        range.subs.resize(subs_cp);
+        range.g_at.resize(g_cp);
+        range.g_off.resize(g_cp);
+        range.g_k.resize(g_cp);
+        range.g_depth.resize(g_cp);
+        range.ex.warm.resize(w_cp);
+        range.ex.p_sub.resize(p_cp);
+        range.ex.p_pos.resize(p_cp);
+        range.ex.p_val.resize(p_cp);
+        br.seek(pos_cp);
+        err = t.code;
+        break;
+      }
+    }
+    *landed = (int64_t)br.byte_pos();
+    pack_range<int32_t>(range, bps, out);
+    return err;
+  } catch (const Thrown& t) {
+    return t.code;
+  } catch (...) {
+    return E_UNIMPLEMENTED;
+  }
+}
+
 void zfi_free(Plan* p) {
   std::free(p->f_coded_number);
   std::free(p->grp_off);
@@ -1793,6 +2102,10 @@ void zfi_free(Plan* p) {
   std::free(p->coeffs_rev);
   std::free(p->seeds);
   std::free(p->wide);
+  std::free(p->sk_warm);
+  std::free(p->sk_patch_sub);
+  std::free(p->sk_patch_pos);
+  std::free(p->sk_patch_val);
   std::memset(p, 0, sizeof(Plan));
 }
 

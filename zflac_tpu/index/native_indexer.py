@@ -78,6 +78,13 @@ class _Plan(ctypes.Structure):
         ("f_coded_number", ctypes.POINTER(ctypes.c_int64)),
         ("variable_blocking", ctypes.c_int32),
         ("_pad3", ctypes.c_int32),
+        ("sk_warm", ctypes.POINTER(ctypes.c_int32)),
+        ("sk_patch_sub", ctypes.POINTER(ctypes.c_int32)),
+        ("sk_patch_pos", ctypes.POINTER(ctypes.c_int32)),
+        ("sk_patch_val", ctypes.POINTER(ctypes.c_int32)),
+        ("sk_patch_n", ctypes.c_int64),
+        ("skim", ctypes.c_int32),
+        ("_pad4", ctypes.c_int32),
     ]
 
 
@@ -139,6 +146,15 @@ def _load():
         lib.zfi_reconstruct.argtypes = [
             ctypes.POINTER(_Plan), ctypes.c_int,
             ctypes.POINTER(ctypes.c_void_p)]
+        lib.zfi_index_skim.restype = ctypes.c_int
+        lib.zfi_index_skim.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(_Plan), ctypes.POINTER(ctypes.c_int64)]
+        lib.zfi_skim_range.restype = ctypes.c_int
+        lib.zfi_skim_range.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.POINTER(_Plan), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
         return _lib
 
@@ -172,10 +188,6 @@ def build_plan_native(data: bytes, check_crc: bool = False,
         msg = "frame CRC mismatch" if rc == 9 else ""
         raise ERROR_MAP.get(rc, err.Unimplemented)(msg)
     try:
-        S = int(plan.num_subframes)
-        F = int(plan.num_frames)
-        B = int(plan.max_block)
-        vdtype = np.int32 if plan.value_width == 4 else np.int64
         info = StreamInfo(
             min_block_size=plan.min_block_size,
             max_block_size=plan.max_block_size,
@@ -187,37 +199,66 @@ def build_plan_native(data: bytes, check_crc: bool = False,
             total_samples=plan.si_total_samples,
             md5=bytes(bytearray(plan.md5)),
         )
-        sp = StreamPlan(
-            info=info,
-            sample_rate=int(plan.sample_rate),
-            channels=int(plan.channels),
-            bits_per_sample=int(plan.bits_per_sample),
-            block_size=_as_array(plan.f_block_size, (F,), np.int32),
-            channel_code=_as_array(plan.f_channel_code, (F,), np.int32),
-            pcm_start=_as_array(plan.f_pcm_start, (F,), np.int64),
-            frame_byte_offset=_as_array(plan.f_byte_offset, (F,),
-                                        np.int64),
-            coded_number=_as_array(plan.f_coded_number, (F,), np.int64),
-            variable_blocking=bool(plan.variable_blocking),
-            rows=_as_array(plan.rows, (S, B), vdtype),
-            kind=_as_array(plan.kind, (S,), np.int32),
-            order=_as_array(plan.order, (S,), np.int32),
-            wasted=_as_array(plan.wasted, (S,), np.int32),
-            shift=_as_array(plan.shift, (S,), np.int32),
-            coeffs_rev=_as_array(plan.coeffs_rev, (S, 32), np.int32),
-            fixed_seeds=_as_array(plan.seeds, (S, 4), vdtype),
-            wide=_as_array(plan.wide, (S,), np.uint8).astype(bool),
-            total_samples=int(plan.total_samples),
-            stats={"frames": F, "indexer": "native"},
+        return _plan_to_streamplan(plan, info)
+    finally:
+        lib.zfi_free(ctypes.byref(plan))
+
+
+def build_plan_skim(data: bytes, check_crc: bool = False):
+    """Measure-only native index for the fully device-side decode
+    (zfi_index_skim): the StreamPlan carries the Rice-group table,
+    warm-ups, and sparse patches but no residual rows (rows=None).
+    Returns None when skim is unsupported for the stream (wide sample
+    types) — callers fall back to the full index."""
+    lib = _load()
+    assert lib is not None
+    plan = _Plan()
+    err_pos = ctypes.c_int64(0)
+    rc = lib.zfi_index_skim(data, len(data), int(check_crc),
+                            ctypes.byref(plan), ctypes.byref(err_pos))
+    if rc == 100:
+        return None
+    if rc != 0:
+        lib.zfi_free(ctypes.byref(plan))
+        msg = "frame CRC mismatch" if rc == 9 else ""
+        raise ERROR_MAP.get(rc, err.Unimplemented)(msg)
+    try:
+        info = StreamInfo(
+            min_block_size=plan.min_block_size,
+            max_block_size=plan.max_block_size,
+            min_frame_size=plan.min_frame_size,
+            max_frame_size=plan.max_frame_size,
+            sample_rate=plan.si_sample_rate,
+            channel_count=plan.si_channels,
+            bits_per_sample=plan.si_bits_per_sample,
+            total_samples=plan.si_total_samples,
+            md5=bytes(bytearray(plan.md5)),
         )
-        if emit_groups and plan.grp_per_row:
-            gpb = int(plan.grp_per_row)
-            sp.groups = {
-                "off": _as_array(plan.grp_off, (S, gpb), np.int64),
-                "k": _as_array(plan.grp_k, (S, gpb), np.uint8),
-                "depth": _as_array(plan.grp_depth, (S, gpb), np.uint8),
-            }
-        return sp
+        return _plan_to_streamplan(plan, info)
+    finally:
+        lib.zfi_free(ctypes.byref(plan))
+
+
+def skim_range(data: bytes, start_byte: int, stop_byte: int,
+               info: StreamInfo, check_crc: bool = False):
+    """Skim whole frames in [start_byte, stop_byte) (zfi_skim_range).
+    Returns (skim StreamPlan shard, landed_byte)."""
+    lib = _load()
+    assert lib is not None
+    plan = _Plan()
+    plan.si_sample_rate = info.sample_rate
+    plan.si_channels = info.channel_count
+    plan.si_bits_per_sample = info.bits_per_sample
+    plan.si_total_samples = info.total_samples
+    landed = ctypes.c_int64(-1)
+    rc = lib.zfi_skim_range(data, len(data), start_byte, stop_byte,
+                            ctypes.byref(plan), int(check_crc),
+                            ctypes.byref(landed))
+    try:
+        if rc != 0:
+            msg = "frame CRC mismatch" if rc == 9 else ""
+            raise ERROR_MAP.get(rc, err.Unimplemented)(msg)
+        return _plan_to_streamplan(plan, info), int(landed.value)
     finally:
         lib.zfi_free(ctypes.byref(plan))
 
@@ -269,7 +310,8 @@ def _plan_to_streamplan(plan, info: StreamInfo) -> StreamPlan:
     F = int(plan.num_frames)
     B = int(plan.max_block)
     vdtype = np.int32 if plan.value_width == 4 else np.int64
-    return StreamPlan(
+    skim = bool(plan.skim)
+    sp = StreamPlan(
         info=info,
         sample_rate=int(plan.sample_rate),
         channels=int(plan.channels),
@@ -280,7 +322,7 @@ def _plan_to_streamplan(plan, info: StreamInfo) -> StreamPlan:
         frame_byte_offset=_as_array(plan.f_byte_offset, (F,), np.int64),
         coded_number=_as_array(plan.f_coded_number, (F,), np.int64),
         variable_blocking=bool(plan.variable_blocking),
-        rows=_as_array(plan.rows, (S, B), vdtype),
+        rows=None if skim else _as_array(plan.rows, (S, B), vdtype),
         kind=_as_array(plan.kind, (S,), np.int32),
         order=_as_array(plan.order, (S,), np.int32),
         wasted=_as_array(plan.wasted, (S,), np.int32),
@@ -290,7 +332,24 @@ def _plan_to_streamplan(plan, info: StreamInfo) -> StreamPlan:
         wide=_as_array(plan.wide, (S,), np.uint8).astype(bool),
         total_samples=int(plan.total_samples),
         stats={"frames": F, "indexer": "native"},
+        max_block_v=B,
     )
+    if plan.grp_per_row:
+        gpb = int(plan.grp_per_row)
+        sp.groups = {
+            "off": _as_array(plan.grp_off, (S, gpb), np.int64),
+            "k": _as_array(plan.grp_k, (S, gpb), np.uint8),
+            "depth": _as_array(plan.grp_depth, (S, gpb), np.uint8),
+        }
+    if skim:
+        P = int(plan.sk_patch_n)
+        sp.warmups = _as_array(plan.sk_warm, (S, 32), np.int32)
+        sp.patches = (
+            _as_array(plan.sk_patch_sub, (P,), np.int32),
+            _as_array(plan.sk_patch_pos, (P,), np.int32),
+            _as_array(plan.sk_patch_val, (P,), np.int32),
+        )
+    return sp
 
 
 def decode_native_parallel(data: bytes, check_crc: bool = False):

@@ -66,7 +66,7 @@ class StreamPlan:
     coded_number: np.ndarray      # [F] i64 (frame idx / first sample)
 
     # subframe-level
-    rows: np.ndarray              # [S, B] stream dtype
+    rows: np.ndarray | None       # [S, B] stream dtype (None: skim plan)
     kind: np.ndarray              # [S] i32
     order: np.ndarray             # [S] i32
     wasted: np.ndarray            # [S] i32
@@ -84,6 +84,15 @@ class StreamPlan:
     #: fallback), "depth": [S, GPB] u8}. Groups cover G=8 output
     #: positions.
     groups: dict | None = None
+    #: Skim plan (measure-only native index, zfi_index_skim): rows is
+    #: None; the accelerator recomputes residuals from `groups` and the
+    #: bitstream. warmups[S, 32] holds warm-up/constant values; patches
+    #: = (sub, pos, val) int32 arrays for positions the unpack kernel
+    #: cannot produce (invalid groups, misaligned partition layouts,
+    #: verbatim subframes, short tails).
+    warmups: np.ndarray | None = None
+    patches: tuple | None = None
+    max_block_v: int = 0          # explicit B when rows is None
 
     @property
     def num_frames(self) -> int:
@@ -91,11 +100,12 @@ class StreamPlan:
 
     @property
     def num_subframes(self) -> int:
-        return self.rows.shape[0]
+        return len(self.kind)
 
     @property
     def max_block(self) -> int:
-        return self.rows.shape[1]
+        return self.rows.shape[1] if self.rows is not None \
+            else self.max_block_v
 
     def classes(self) -> dict[str, np.ndarray]:
         """Subframe indices per kernel class (gather lists for the

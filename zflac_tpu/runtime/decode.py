@@ -275,6 +275,134 @@ def _run_reconstruct_device(plan: StreamPlan, data: bytes,
     return np.asarray(pcm)[:F]
 
 
+def _pack_skim(plan: StreamPlan, data: bytes, base_byte: int = 0):
+    """Build the packed single-buffer inputs for reconstruct_skim_packed
+    from a skim plan (rows=None). base_byte: stream offset of the words
+    upload (group bit offsets are rebased against it; the span must stay
+    under 2^28 bytes so relative bit offsets fit int32)."""
+    from ..ops.rice import G, K_INVALID
+    from .pack import Packer
+
+    F = plan.num_frames
+    C = plan.channels
+    S = plan.num_subframes
+    B = plan.max_block
+    Bp = _bucket_block(B)
+    Fp = _pad_pow2(F)
+    Sp = Fp * C
+    GPB = -(-Bp // G)
+
+    base_word = base_byte // 4
+    span = len(data) - base_word * 4
+    assert span * 8 < 2**31, "skim chunk exceeds int32 bit offsets"
+    tail = (-span) % 4 + 4 * 16
+    words = np.frombuffer(
+        data[base_word * 4:] + b"\x00" * tail, dtype=">u4"
+    ).astype(np.uint32)
+
+    off32 = np.full((Sp, GPB), -1, dtype=np.int32)
+    meta = np.full((Sp, GPB), K_INVALID, dtype=np.int32)
+    if plan.groups is not None:
+        g = plan.groups
+        gpb0 = g["off"].shape[1]
+        goff = g["off"] - np.int64(base_word) * 32
+        gk = g["k"].astype(np.int32)
+        gd = g["depth"].astype(np.int32)
+        bad = (g["off"] < 0) | (gk == K_INVALID)
+        off32[:S, :gpb0] = np.where(bad, -1, goff).astype(np.int32)
+        meta[:S, :gpb0] = np.where(bad, K_INVALID, gk | (gd << 8))
+
+    NG = Sp * GPB
+    NGp = -(-NG // 1024) * 1024
+    off32 = np.pad(off32.reshape(-1), (0, NGp - NG), constant_values=-1)
+    meta = np.pad(meta.reshape(-1), (0, NGp - NG),
+                  constant_values=K_INVALID)
+
+    def pad1(a, n, dtype=None):
+        out = np.zeros(n, dtype=dtype or a.dtype)
+        out[:len(a)] = a
+        return out
+
+    kind = pad1(plan.kind, Sp)
+    order = pad1(plan.order, Sp)
+    warmups = np.zeros((Sp, 32), np.int32)
+    warmups[:S] = plan.warmups
+    warm_len = np.where(kind == 0, 1, order).astype(np.int32)
+    bs_sub = pad1(np.repeat(plan.block_size, C), Sp)
+
+    p_sub, p_pos, p_val = plan.patches
+    pidx = p_sub.astype(np.int64) * Bp + p_pos
+    n_p = max(1, _pad_pow2(len(pidx)))
+    patch_idx = np.full(n_p, Sp * Bp, np.int32)
+    patch_idx[:len(pidx)] = pidx.astype(np.int32)
+    patch_val = np.zeros(n_p, np.int32)
+    patch_val[:len(p_val)] = p_val
+
+    coeffs = np.zeros((Sp, 32), dtype=np.int32)
+    coeffs[:S] = plan.coeffs_rev
+    seeds = np.zeros((Sp, 4), dtype=np.int32)
+    seeds[:S] = plan.fixed_seeds
+    channel_code = pad1(plan.channel_code, Fp)
+
+    p = Packer()
+    p.add("words", words)
+    p.add("off32", off32)
+    p.add("meta", meta)
+    p.add("warmups", warmups)
+    p.add("warm_len", warm_len)
+    p.add("patch_idx", patch_idx)
+    p.add("patch_val", patch_val)
+    p.add("kind", kind)
+    p.add("order", order)
+    p.add("wasted", pad1(plan.wasted, Sp))
+    p.add("shift", pad1(plan.shift, Sp))
+    p.add("coeffs", coeffs)
+    p.add("seeds", seeds)
+    p.add("channel_code", channel_code)
+    p.add("bs_sub", bs_sub)
+
+    class_idx = {}
+    for name, idx in plan.classes().items():
+        if len(idx) == 0:
+            continue
+        n = max(128, _pad_pow2(len(idx)))
+        padded = np.full(n, Sp, dtype=np.int32)
+        padded[:len(idx)] = idx
+        class_idx[name] = padded
+        p.add("ci_" + name, padded)
+    buf, spec = p.finish()
+    return buf, spec, tuple(sorted(class_idx)), Bp, GPB
+
+
+def _run_reconstruct_skim(plan: StreamPlan, data: bytes,
+                          async_: bool = False):
+    """Fully device-side phase 2 from a skim plan. Returns host PCM
+    [F, B, C], or the device array + F when async_."""
+    import jax
+
+    from .reconstruct import reconstruct_skim_packed
+
+    buf, spec, class_names, Bp, GPB = _pack_skim(plan, data)
+    try:
+        target = jax.config.jax_default_device or jax.devices()[0]
+        on_tpu = target.platform == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    lpc_impl = "pallas" if (on_tpu and Bp <= 4096) else "scan"
+    unpack_impl = "pallas" if on_tpu else "jnp"
+
+    pcm = reconstruct_skim_packed(
+        buf, spec=spec, class_names=class_names,
+        num_channels=plan.channels,
+        container_bits=fmt.container_bits(plan.info.bits_per_sample),
+        do_decorrelate=bool(
+            np.any(plan.channel_code > fmt.CH_INDEPENDENT_MAX)),
+        lpc_impl=lpc_impl, unpack_impl=unpack_impl, B=Bp, gpb=GPB)
+    if async_:
+        return pcm, plan.num_frames
+    return np.asarray(pcm)[:plan.num_frames]
+
+
 def _assemble(plan: StreamPlan, pcm: np.ndarray) -> np.ndarray:
     """[F, B, C] frame-major PCM -> interleaved output, honoring
     per-frame block sizes."""
@@ -468,9 +596,18 @@ def decode(data: bytes, check_crc: bool = False, verify_md5: bool = True,
     if engine == "native":
         return _decode_native(data, check_crc, verify_md5)
 
-    plan = build_plan(data, check_crc=check_crc,
-                      prefer_native=prefer_native,
-                      emit_groups=device_unpack)
+    plan = None
+    if device_unpack and not safe_lpc and prefer_native:
+        # Measure-only skim index: no residual rows on the host at all;
+        # the accelerator recomputes them from the bitstream.
+        from ..index.native_indexer import native_available
+        if native_available():
+            from ..index.native_indexer import build_plan_skim
+            plan = build_plan_skim(data, check_crc=check_crc)
+    if plan is None:
+        plan = build_plan(data, check_crc=check_crc,
+                          prefer_native=prefer_native,
+                          emit_groups=device_unpack)
     if safe_lpc and plan.rows.dtype == np.int32:
         plan.wide = (plan.kind == 3)
     dtype = container_dtype(plan.info.bits_per_sample)
@@ -478,7 +615,9 @@ def decode(data: bytes, check_crc: bool = False, verify_md5: bool = True,
     if plan.num_frames == 0:
         interleaved = np.zeros(0, dtype=dtype)
     else:
-        if device_unpack and plan.rows.dtype == np.int32:
+        if plan.rows is None:
+            pcm = _run_reconstruct_skim(plan, data)
+        elif device_unpack and plan.rows.dtype == np.int32:
             pcm = _run_reconstruct_device(plan, data)
         else:
             pcm = _run_reconstruct(plan)
