@@ -60,3 +60,28 @@ def test_native_errors(corpus):
         except Exception as e:
             nat_exc = type(e)
         assert py_exc == nat_exc, (py_exc, nat_exc)
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_native_inline_md5(name, corpus):
+    """The C++ inline MD5 (overlapped with the parallel decode) must
+    equal hashlib over the same smallest-whole-byte LE sample bytes for
+    every corpus entry, including the 3-of-4-byte 17-24-bit packing
+    (zflac.zig:267-277)."""
+    import hashlib
+
+    from zflac_tpu.index.native_indexer import decode_native_parallel
+    from zflac_tpu.runtime.decode import verify_stream_md5
+
+    data, *_ = corpus[name]
+    arr, meta = decode_native_parallel(data)
+    assert meta["computed_md5"] is not None
+    bps = meta["si_bits_per_sample"]
+    nbytes = (bps + 7) // 8
+    if nbytes == 3:
+        raw = arr.astype("<i4").tobytes()
+        raw = b"".join(raw[i:i + 3] for i in range(0, len(raw), 4))
+    else:
+        raw = arr.astype(f"<i{nbytes}", copy=False).tobytes()
+    assert meta["computed_md5"] == hashlib.md5(raw).digest()
+    assert verify_stream_md5(arr, bps, meta["computed_md5"])

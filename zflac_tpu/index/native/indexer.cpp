@@ -13,9 +13,11 @@
 // C ABI, consumed from Python via ctypes (native_indexer.py).
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -172,6 +174,140 @@ static uint16_t crc16_range(const uint8_t* p, size_t n) {
 }
 
 // ---- format tables (format.py mirrors) ----
+// ---- MD5 (RFC 1321) ----
+// The reference verifies the STREAMINFO MD5 over the raw little-endian
+// sample bytes as the only enforced integrity check
+// (zflac.zig:267-280). Computing it here lets the parallel decoder
+// hash finished chunks in stream order while later chunks still
+// decode, hiding the hash behind the decode instead of serializing a
+// full extra pass over the PCM.
+struct MD5 {
+  uint32_t h[4] = {0x67452301u, 0xefcdab89u, 0x98badcfeu, 0x10325476u};
+  uint64_t total = 0;
+  uint8_t buf[64];
+  size_t buflen = 0;
+
+  static inline uint32_t rotl(uint32_t x, int c) {
+    return (x << c) | (x >> (32 - c));
+  }
+
+  void block(const uint8_t* p) {
+    static const uint32_t K[64] = {
+        0xd76aa478u, 0xe8c7b756u, 0x242070dbu, 0xc1bdceeeu,
+        0xf57c0fafu, 0x4787c62au, 0xa8304613u, 0xfd469501u,
+        0x698098d8u, 0x8b44f7afu, 0xffff5bb1u, 0x895cd7beu,
+        0x6b901122u, 0xfd987193u, 0xa679438eu, 0x49b40821u,
+        0xf61e2562u, 0xc040b340u, 0x265e5a51u, 0xe9b6c7aau,
+        0xd62f105du, 0x02441453u, 0xd8a1e681u, 0xe7d3fbc8u,
+        0x21e1cde6u, 0xc33707d6u, 0xf4d50d87u, 0x455a14edu,
+        0xa9e3e905u, 0xfcefa3f8u, 0x676f02d9u, 0x8d2a4c8au,
+        0xfffa3942u, 0x8771f681u, 0x6d9d6122u, 0xfde5380cu,
+        0xa4beea44u, 0x4bdecfa9u, 0xf6bb4b60u, 0xbebfbc70u,
+        0x289b7ec6u, 0xeaa127fau, 0xd4ef3085u, 0x04881d05u,
+        0xd9d4d039u, 0xe6db99e5u, 0x1fa27cf8u, 0xc4ac5665u,
+        0xf4292244u, 0x432aff97u, 0xab9423a7u, 0xfc93a039u,
+        0x655b59c3u, 0x8f0ccc92u, 0xffeff47du, 0x85845dd1u,
+        0x6fa87e4fu, 0xfe2ce6e0u, 0xa3014314u, 0x4e0811a1u,
+        0xf7537e82u, 0xbd3af235u, 0x2ad7d2bbu, 0xeb86d391u};
+    static const int S[16] = {7, 12, 17, 22, 5, 9, 14, 20,
+                              4, 11, 16, 23, 6, 10, 15, 21};
+    uint32_t m[16];
+    std::memcpy(m, p, 64);
+    uint32_t a = h[0], b = h[1], c = h[2], d = h[3];
+    for (int i = 0; i < 64; i++) {
+      uint32_t f;
+      int g;
+      if (i < 16) {
+        f = (b & c) | (~b & d);
+        g = i;
+      } else if (i < 32) {
+        f = (d & b) | (~d & c);
+        g = (5 * i + 1) & 15;
+      } else if (i < 48) {
+        f = b ^ c ^ d;
+        g = (3 * i + 5) & 15;
+      } else {
+        f = c ^ (b | ~d);
+        g = (7 * i) & 15;
+      }
+      f += a + K[i] + m[g];
+      a = d;
+      d = c;
+      c = b;
+      b += rotl(f, S[(i >> 4) * 4 + (i & 3)]);
+    }
+    h[0] += a;
+    h[1] += b;
+    h[2] += c;
+    h[3] += d;
+  }
+
+  void update(const void* data, size_t n) {
+    const uint8_t* p = (const uint8_t*)data;
+    total += n;
+    if (buflen) {
+      size_t take = std::min(n, (size_t)64 - buflen);
+      std::memcpy(buf + buflen, p, take);
+      buflen += take;
+      p += take;
+      n -= take;
+      if (buflen < 64) return;
+      block(buf);
+      buflen = 0;
+    }
+    while (n >= 64) {
+      block(p);
+      p += 64;
+      n -= 64;
+    }
+    if (n) {
+      std::memcpy(buf, p, n);
+      buflen = n;
+    }
+  }
+
+  void final(uint8_t out[16]) {
+    uint64_t bits = total * 8;
+    uint8_t pad = 0x80;
+    update(&pad, 1);
+    uint8_t z = 0;
+    while (buflen != 56) update(&z, 1);
+    uint8_t lenb[8];
+    for (int i = 0; i < 8; i++) lenb[i] = (uint8_t)(bits >> (8 * i));
+    update(lenb, 8);
+    for (int i = 0; i < 4; i++)
+      for (int j = 0; j < 4; j++)
+        out[4 * i + j] = (uint8_t)(h[i] >> (8 * j));
+  }
+};
+
+// Hash `n` container samples the way the reference does
+// (zflac.zig:267-277): the smallest whole number of little-endian
+// bytes per sample. nbytes == sizeof(C) feeds the raw buffer; the only
+// mismatch in practice is 17-24-bit audio in an int32 container
+// (3 of every 4 bytes).
+template <typename C>
+static void md5_update_samples(MD5& md5, const C* p, size_t n,
+                               unsigned nbytes) {
+  if (nbytes == sizeof(C)) {
+    md5.update(p, n * sizeof(C));
+    return;
+  }
+  uint8_t tmp[3 * 1024];
+  size_t i = 0;
+  while (i < n) {
+    size_t take = std::min(n - i, (size_t)1024);
+    const uint8_t* src = (const uint8_t*)(p + i);
+    for (size_t j = 0; j < take; j++) {
+      tmp[3 * j] = src[sizeof(C) * j];
+      tmp[3 * j + 1] = src[sizeof(C) * j + 1];
+      tmp[3 * j + 2] = src[sizeof(C) * j + 2];
+    }
+    md5.update(tmp, 3 * take);
+    i += take;
+  }
+}
+
 static const int32_t kSampleRateHz[16] = {
     0, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
     32000, 44100, 48000, 96000, -1, -2, -3, -4};
@@ -487,6 +623,12 @@ struct Plan {
   int64_t sk_patch_n;
   int32_t skim;
   int32_t _pad4;
+  // MD5 of the decoded stream, computed inline by the full-decode
+  // entry points when requested (md5_state: 0 = not computed,
+  // 1 = computed -> computed_md5 is valid).
+  uint8_t computed_md5[16];
+  int32_t md5_state;
+  int32_t _pad5;
 };
 
 
@@ -1473,7 +1615,7 @@ static FrameInfo decode_one_frame(BitReader& br, const uint8_t* data,
 template <typename V, typename C>
 static int decode_cpu_t(const uint8_t* data, size_t len, BitReader br,
                         Plan* out, void** out_samples,
-                        int check_crc = 0) {
+                        int check_crc = 0, int compute_md5 = 0) {
   uint32_t si_bps = out->si_bits_per_sample;
   SeqCtx ctx{};
   ctx.valid_total = out->si_total_samples > 0;
@@ -1510,6 +1652,13 @@ static int decode_cpu_t(const uint8_t* data, size_t len, BitReader br,
   C* result = (C*)std::malloc(samples.size() * sizeof(C) + 1);
   if (!result) fail(E_UNIMPLEMENTED);
   std::memcpy(result, samples.data(), samples.size() * sizeof(C));
+  if (compute_md5) {
+    MD5 md5;
+    md5_update_samples<C>(md5, samples.data(), samples.size(),
+                          (si_bps + 7) / 8);
+    md5.final(out->computed_md5);
+    out->md5_state = 1;
+  }
   *out_samples = result;
   return OK;
 }
@@ -1520,65 +1669,127 @@ static int decode_cpu_t(const uint8_t* data, size_t len, BitReader br,
 template <typename V, typename C>
 static bool decode_parallel_t(const uint8_t* data, size_t len,
                               size_t first_frame_byte, Plan* out,
-                              void** out_samples, int check_crc) {
+                              void** out_samples, int check_crc,
+                              int compute_md5) {
   size_t span = len - first_frame_byte;
   unsigned T = std::thread::hardware_concurrency();
   if (T < 2 || span < (1u << 20)) return false;
   if (T > 16) T = 16;
   uint32_t si_bps = out->si_bits_per_sample;
+  unsigned nbytes = (si_bps + 7) / 8;
 
-  std::vector<int64_t> anchors(T, -1);
+  // More chunks than threads: workers pull chunks off an atomic
+  // counter, and whichever worker finishes a chunk advances the
+  // in-order MD5 frontier — the hash hides behind the decode instead
+  // of running as a serial pass afterwards.
+  size_t M = span >> 20;
+  if (M < T) M = T;
+  if (M > 8 * (size_t)T) M = 8 * (size_t)T;
+  if (M > 64) M = 64;
+
+  std::vector<int64_t> anchors(M, -1);
   anchors[0] = (int64_t)first_frame_byte;
   {
+    std::atomic<size_t> next{1};
     std::vector<std::thread> th;
-    for (unsigned t = 1; t < T; t++) {
-      size_t lo = first_frame_byte + span * t / T;
-      size_t hi = first_frame_byte + span * (t + 1) / T;
-      th.emplace_back([&, lo, hi, t] {
-        anchors[t] = find_anchor<V>(data, len, lo, hi,
-                                    out->si_sample_rate, si_bps);
+    for (unsigned t = 0; t < T; t++) {
+      th.emplace_back([&] {
+        for (;;) {
+          size_t m = next.fetch_add(1);
+          if (m >= M) break;
+          size_t lo = first_frame_byte + span * m / M;
+          size_t hi = first_frame_byte + span * (m + 1) / M;
+          anchors[m] = find_anchor<V>(data, len, lo, hi,
+                                      out->si_sample_rate, si_bps);
+        }
       });
     }
     for (auto& x : th) x.join();
   }
   std::vector<int64_t> starts;
-  for (unsigned t = 0; t < T; t++)
-    if (anchors[t] >= 0 && (starts.empty() || anchors[t] > starts.back()))
-      starts.push_back(anchors[t]);
+  for (size_t m = 0; m < M; m++)
+    if (anchors[m] >= 0 && (starts.empty() || anchors[m] > starts.back()))
+      starts.push_back(anchors[m]);
 
   struct Seg {
     std::vector<C> pcm;
     std::vector<FrameInfo> frames;
     int64_t landed = -1;
     int err = OK;
+    std::atomic<int> done{0};
   };
   std::vector<Seg> segs(starts.size());
+  MD5 md5;
+  size_t hash_frontier = 0;
+  bool hash_ok = true;  // guarded by hash_mu
+  std::mutex hash_mu;
+  auto drain_hash = [&] {
+    // Hash contiguous completed chunks in stream order. try_lock: if
+    // another worker is already draining, it will pick up this chunk;
+    // the post-join drain catches the no-one-holds-the-lock race. An
+    // errored chunk's pcm may hold a partially-written frame, so any
+    // error invalidates the pipelined digest (the caller re-hashes the
+    // merged output serially in that rare case).
+    if (!compute_md5) return;
+    std::unique_lock<std::mutex> lk(hash_mu, std::try_to_lock);
+    if (!lk.owns_lock()) return;
+    while (hash_frontier < segs.size() &&
+           segs[hash_frontier].done.load(std::memory_order_acquire)) {
+      Seg& h = segs[hash_frontier];
+      if (h.err == OK && hash_ok)
+        md5_update_samples<C>(md5, h.pcm.data(), h.pcm.size(), nbytes);
+      else
+        hash_ok = false;
+      hash_frontier++;
+    }
+  };
   {
+    std::atomic<size_t> next{0};
     std::vector<std::thread> th;
-    for (size_t s = 0; s < starts.size(); s++) {
-      int64_t lo = starts[s];
-      int64_t hi = s + 1 < starts.size() ? starts[s + 1] : (int64_t)len;
-      th.emplace_back([&, s, lo, hi] {
-        Seg& r = segs[s];
-        r.pcm.reserve((size_t)(hi - lo) * 2);
-        std::vector<V> work, res, side_buf;
-        BitReader br{data, len, (uint64_t)lo * 8};
-        try {
-          for (;;) {
-            if ((int64_t)br.byte_pos() >= hi) break;
-            if (br.pos + 32 > br.nbits()) break;
-            r.frames.push_back(decode_one_frame<V, C>(
-                br, data, check_crc, out->si_sample_rate, si_bps,
-                nullptr, work, res, side_buf, r.pcm));
+    unsigned W = std::min<size_t>(T, segs.size());
+    for (unsigned t = 0; t < W; t++) {
+      th.emplace_back([&] {
+        for (;;) {
+          size_t s = next.fetch_add(1);
+          if (s >= segs.size()) break;
+          Seg& r = segs[s];
+          int64_t lo = starts[s];
+          int64_t hi =
+              s + 1 < starts.size() ? starts[s + 1] : (int64_t)len;
+          r.pcm.reserve((size_t)(hi - lo) * 2);
+          std::vector<V> work, res, side_buf;
+          BitReader br{data, len, (uint64_t)lo * 8};
+          try {
+            for (;;) {
+              if ((int64_t)br.byte_pos() >= hi) break;
+              if (br.pos + 32 > br.nbits()) break;
+              r.frames.push_back(decode_one_frame<V, C>(
+                  br, data, check_crc, out->si_sample_rate, si_bps,
+                  nullptr, work, res, side_buf, r.pcm));
+            }
+            r.landed = (int64_t)br.byte_pos();
+          } catch (const Thrown& e) {
+            r.err = e.code;
+            r.landed = -1;
           }
-          r.landed = (int64_t)br.byte_pos();
-        } catch (const Thrown& e) {
-          r.err = e.code;
-          r.landed = -1;
+          r.done.store(1, std::memory_order_release);
+          drain_hash();
         }
       });
     }
     for (auto& x : th) x.join();
+  }
+  if (compute_md5) {
+    std::lock_guard<std::mutex> lk(hash_mu);
+    while (hash_frontier < segs.size() &&
+           segs[hash_frontier].done.load(std::memory_order_acquire)) {
+      Seg& h = segs[hash_frontier];
+      if (h.err == OK && hash_ok)
+        md5_update_samples<C>(md5, h.pcm.data(), h.pcm.size(), nbytes);
+      else
+        hash_ok = false;
+      hash_frontier++;
+    }
   }
 
   int trailing_err = OK;
@@ -1657,6 +1868,21 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
     fidx += take_frames;
   }
 
+  if (compute_md5) {
+    if (hash_ok && !cut_hit && trailing_err == OK &&
+        cut == frames.size()) {
+      md5.final(out->computed_md5);
+    } else {
+      // Rare path (trailing error kept / total-samples cut): the
+      // pipelined digest covered bytes that were trimmed; re-hash the
+      // merged output.
+      MD5 fresh;
+      md5_update_samples<C>(fresh, result, (size_t)n_out, nbytes);
+      fresh.final(out->computed_md5);
+    }
+    out->md5_state = 1;
+  }
+
   out->sample_rate = ctx.sample_rate;
   out->channels = ctx.locked_count;
   out->bits_per_sample = ctx.bits_per_sample;
@@ -1670,14 +1896,15 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
 template <typename V, typename C>
 static int decode_auto_t(const uint8_t* data, size_t len, BitReader br,
                          Plan* out, void** out_samples,
-                         int check_crc = 0) {
+                         int check_crc = 0, int compute_md5 = 0) {
   const char* force_seq = std::getenv("ZFLAC_TPU_SEQ_INDEX");
   if (!(force_seq && force_seq[0] == '1')) {
     if (decode_parallel_t<V, C>(data, len, br.byte_pos(), out,
-                                out_samples, check_crc))
+                                out_samples, check_crc, compute_md5))
       return OK;
   }
-  return decode_cpu_t<V, C>(data, len, br, out, out_samples, check_crc);
+  return decode_cpu_t<V, C>(data, len, br, out, out_samples, check_crc,
+                            compute_md5);
 }
 
 // ---- native phase-2: plan -> PCM (threaded over frames) ----
@@ -1829,7 +2056,8 @@ extern "C" {
 // (caller frees with zfi_free_samples). Container width is chosen from
 // STREAMINFO bps like the reference (zflac.zig:256-264).
 int zfi_decode_parallel(const uint8_t* data, size_t len, int check_crc,
-                        Plan* out, void** out_samples) {
+                        int compute_md5, Plan* out,
+                        void** out_samples) {
   std::memset(out, 0, sizeof(Plan));
   *out_samples = nullptr;
   try {
@@ -1837,13 +2065,13 @@ int zfi_decode_parallel(const uint8_t* data, size_t len, int check_crc,
     parse_stream_meta(br, out);
     uint32_t aligned = (out->si_bits_per_sample + 7) & ~7u;
     if (aligned == 8)
-      return decode_auto_t<int32_t, int8_t>(data, len, br, out,
-                                            out_samples, check_crc);
+      return decode_auto_t<int32_t, int8_t>(
+          data, len, br, out, out_samples, check_crc, compute_md5);
     if (aligned == 16)
-      return decode_auto_t<int32_t, int16_t>(data, len, br, out,
-                                             out_samples, check_crc);
-    return decode_auto_t<int64_t, int32_t>(data, len, br, out,
-                                           out_samples, check_crc);
+      return decode_auto_t<int32_t, int16_t>(
+          data, len, br, out, out_samples, check_crc, compute_md5);
+    return decode_auto_t<int64_t, int32_t>(
+        data, len, br, out, out_samples, check_crc, compute_md5);
   } catch (const Thrown& t) {
     return t.code;
   } catch (...) {

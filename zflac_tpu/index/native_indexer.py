@@ -85,6 +85,9 @@ class _Plan(ctypes.Structure):
         ("sk_patch_n", ctypes.c_int64),
         ("skim", ctypes.c_int32),
         ("_pad4", ctypes.c_int32),
+        ("computed_md5", ctypes.c_uint8 * 16),
+        ("md5_state", ctypes.c_int32),
+        ("_pad5", ctypes.c_int32),
     ]
 
 
@@ -129,7 +132,7 @@ def _load():
             ctypes.POINTER(ctypes.c_void_p)]
         lib.zfi_decode_parallel.restype = ctypes.c_int
         lib.zfi_decode_parallel.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(_Plan), ctypes.POINTER(ctypes.c_void_p)]
         lib.zfi_free_samples.restype = None
         lib.zfi_free_samples.argtypes = [ctypes.c_void_p]
@@ -352,10 +355,13 @@ def _plan_to_streamplan(plan, info: StreamInfo) -> StreamPlan:
     return sp
 
 
-def decode_native_parallel(data: bytes, check_crc: bool = False):
+def decode_native_parallel(data: bytes, check_crc: bool = False,
+                           compute_md5: bool = True):
     """One-call native decode: parallel (sync-scan) indexing + threaded
     reconstruction. The production host path for host-destined output.
     Returns (interleaved pre-normalization container samples, meta).
+    compute_md5: hash the output inline (overlapped with decode) and
+    report the digest via meta["computed_md5"] (None if not computed).
 
     The returned array *borrows* the C buffer (no copy); a finalizer
     frees it when the array is collected."""
@@ -366,7 +372,7 @@ def decode_native_parallel(data: bytes, check_crc: bool = False):
     plan = _Plan()
     samples_ptr = ctypes.c_void_p()
     rc = lib.zfi_decode_parallel(data, len(data), int(check_crc),
-                                 ctypes.byref(plan),
+                                 int(compute_md5), ctypes.byref(plan),
                                  ctypes.byref(samples_ptr))
     try:
         if rc != 0:
@@ -394,6 +400,8 @@ def decode_native_parallel(data: bytes, check_crc: bool = False):
             "bits_per_sample": int(plan.bits_per_sample),
             "si_bits_per_sample": int(plan.si_bits_per_sample),
             "md5": bytes(bytearray(plan.md5)),
+            "computed_md5": bytes(bytearray(plan.computed_md5))
+            if plan.md5_state == 1 else None,
             "frames": int(plan.num_frames),
         }
         return arr, meta

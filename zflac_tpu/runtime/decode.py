@@ -553,10 +553,18 @@ def _decode_native(data: bytes, check_crc: bool,
     RAM (phase 2 is memory-bound; a device round-trip costs more than
     the compute — see bench.py)."""
     from ..index.native_indexer import decode_native_parallel
-    arr, meta = decode_native_parallel(data, check_crc=check_crc)
+    arr, meta = decode_native_parallel(data, check_crc=check_crc,
+                                       compute_md5=verify_md5)
     si_bps = meta["si_bits_per_sample"]
-    if verify_md5 and not verify_stream_md5(arr, si_bps, meta["md5"]):
-        raise InvalidChecksum("stream MD5 mismatch")
+    if verify_md5:
+        # The digest is computed inline by the native decoder,
+        # overlapped with the decode itself; fall back to the host hash
+        # if it wasn't produced.
+        if meta["computed_md5"] is not None:
+            if meta["computed_md5"] != meta["md5"]:
+                raise InvalidChecksum("stream MD5 mismatch")
+        elif not verify_stream_md5(arr, si_bps, meta["md5"]):
+            raise InvalidChecksum("stream MD5 mismatch")
     shift = fmt.normalization_shift(si_bps)
     if shift:
         arr = arr << shift
