@@ -130,6 +130,38 @@ struct BitReader {
     }
   }
 
+  // Fused unary-quotient + k-bit-remainder + zigzag read: one refill
+  // and one bounds check serve the whole Rice code in the common case
+  // (the hottest loop of the stream, zflac.zig:655-664). Falls back to
+  // the checked readers for long quotients / cache-straddling codes.
+  inline int64_t read_rice(unsigned k) {
+    // Serve from the cache when the whole code fits (cache low bits
+    // are zero, so a run reaching past cache_bits shows up as
+    // total > cache_bits); refill at most once, else fall back to the
+    // checked readers (long quotients, EOF).
+    uint64_t c = cache;
+    unsigned z = c ? (unsigned)__builtin_clzll(c) : 64;
+    unsigned total = z + 1 + k;
+    if (total > cache_bits) {
+      refill();
+      c = cache;
+      z = c ? (unsigned)__builtin_clzll(c) : 64;
+      total = z + 1 + k;
+    }
+    if (total <= cache_bits && pos + total <= nbits()) {
+      uint64_t rem = k ? (c << (z + 1)) >> (64 - k) : 0;
+      cache = total >= 64 ? 0 : c << total;
+      cache_bits -= total;
+      pos += total;
+      uint64_t zz = ((uint64_t)z << k) | rem;
+      return (int64_t)(zz >> 1) ^ -(int64_t)(zz & 1);
+    }
+    uint64_t q = read_unary();
+    uint64_t rem = read_bits(k);
+    uint64_t zz = (q << k) + rem;
+    return (int64_t)(zz >> 1) ^ -(int64_t)(zz & 1);
+  }
+
   inline void align_byte() { seek((pos + 7) & ~7ull); }
   inline size_t byte_pos() const { return (size_t)(pos >> 3); }
   inline uint32_t read_u8() { return (uint32_t)read_bits(8); }
@@ -192,50 +224,87 @@ struct MD5 {
   }
 
   void block(const uint8_t* p) {
-    static const uint32_t K[64] = {
-        0xd76aa478u, 0xe8c7b756u, 0x242070dbu, 0xc1bdceeeu,
-        0xf57c0fafu, 0x4787c62au, 0xa8304613u, 0xfd469501u,
-        0x698098d8u, 0x8b44f7afu, 0xffff5bb1u, 0x895cd7beu,
-        0x6b901122u, 0xfd987193u, 0xa679438eu, 0x49b40821u,
-        0xf61e2562u, 0xc040b340u, 0x265e5a51u, 0xe9b6c7aau,
-        0xd62f105du, 0x02441453u, 0xd8a1e681u, 0xe7d3fbc8u,
-        0x21e1cde6u, 0xc33707d6u, 0xf4d50d87u, 0x455a14edu,
-        0xa9e3e905u, 0xfcefa3f8u, 0x676f02d9u, 0x8d2a4c8au,
-        0xfffa3942u, 0x8771f681u, 0x6d9d6122u, 0xfde5380cu,
-        0xa4beea44u, 0x4bdecfa9u, 0xf6bb4b60u, 0xbebfbc70u,
-        0x289b7ec6u, 0xeaa127fau, 0xd4ef3085u, 0x04881d05u,
-        0xd9d4d039u, 0xe6db99e5u, 0x1fa27cf8u, 0xc4ac5665u,
-        0xf4292244u, 0x432aff97u, 0xab9423a7u, 0xfc93a039u,
-        0x655b59c3u, 0x8f0ccc92u, 0xffeff47du, 0x85845dd1u,
-        0x6fa87e4fu, 0xfe2ce6e0u, 0xa3014314u, 0x4e0811a1u,
-        0xf7537e82u, 0xbd3af235u, 0x2ad7d2bbu, 0xeb86d391u};
-    static const int S[16] = {7, 12, 17, 22, 5, 9, 14, 20,
-                              4, 11, 16, 23, 6, 10, 15, 21};
     uint32_t m[16];
     std::memcpy(m, p, 64);
     uint32_t a = h[0], b = h[1], c = h[2], d = h[3];
-    for (int i = 0; i < 64; i++) {
-      uint32_t f;
-      int g;
-      if (i < 16) {
-        f = (b & c) | (~b & d);
-        g = i;
-      } else if (i < 32) {
-        f = (d & b) | (~d & c);
-        g = (5 * i + 1) & 15;
-      } else if (i < 48) {
-        f = b ^ c ^ d;
-        g = (3 * i + 5) & 15;
-      } else {
-        f = c ^ (b | ~d);
-        g = (7 * i) & 15;
-      }
-      f += a + K[i] + m[g];
-      a = d;
-      d = c;
-      c = b;
-      b += rotl(f, S[(i >> 4) * 4 + (i & 3)]);
-    }
+// Fully unrolled rounds (constants from RFC 1321 §3.4); the
+// (x&y)|(~x&z) forms are written as z^(x&(y^z)) to save an op.
+#define MD5_STEP(f, w, x, y, z, g, k, s) \
+  w += (f) + k + m[g];                   \
+  w = rotl(w, s) + x;
+#define F1(x, y, z) ((z) ^ ((x) & ((y) ^ (z))))
+#define F2(x, y, z) ((y) ^ ((z) & ((x) ^ (y))))
+#define F3(x, y, z) ((x) ^ (y) ^ (z))
+#define F4(x, y, z) ((y) ^ ((x) | ~(z)))
+    MD5_STEP(F1(b, c, d), a, b, c, d, 0, 0xd76aa478u, 7)
+    MD5_STEP(F1(a, b, c), d, a, b, c, 1, 0xe8c7b756u, 12)
+    MD5_STEP(F1(d, a, b), c, d, a, b, 2, 0x242070dbu, 17)
+    MD5_STEP(F1(c, d, a), b, c, d, a, 3, 0xc1bdceeeu, 22)
+    MD5_STEP(F1(b, c, d), a, b, c, d, 4, 0xf57c0fafu, 7)
+    MD5_STEP(F1(a, b, c), d, a, b, c, 5, 0x4787c62au, 12)
+    MD5_STEP(F1(d, a, b), c, d, a, b, 6, 0xa8304613u, 17)
+    MD5_STEP(F1(c, d, a), b, c, d, a, 7, 0xfd469501u, 22)
+    MD5_STEP(F1(b, c, d), a, b, c, d, 8, 0x698098d8u, 7)
+    MD5_STEP(F1(a, b, c), d, a, b, c, 9, 0x8b44f7afu, 12)
+    MD5_STEP(F1(d, a, b), c, d, a, b, 10, 0xffff5bb1u, 17)
+    MD5_STEP(F1(c, d, a), b, c, d, a, 11, 0x895cd7beu, 22)
+    MD5_STEP(F1(b, c, d), a, b, c, d, 12, 0x6b901122u, 7)
+    MD5_STEP(F1(a, b, c), d, a, b, c, 13, 0xfd987193u, 12)
+    MD5_STEP(F1(d, a, b), c, d, a, b, 14, 0xa679438eu, 17)
+    MD5_STEP(F1(c, d, a), b, c, d, a, 15, 0x49b40821u, 22)
+    MD5_STEP(F2(b, c, d), a, b, c, d, 1, 0xf61e2562u, 5)
+    MD5_STEP(F2(a, b, c), d, a, b, c, 6, 0xc040b340u, 9)
+    MD5_STEP(F2(d, a, b), c, d, a, b, 11, 0x265e5a51u, 14)
+    MD5_STEP(F2(c, d, a), b, c, d, a, 0, 0xe9b6c7aau, 20)
+    MD5_STEP(F2(b, c, d), a, b, c, d, 5, 0xd62f105du, 5)
+    MD5_STEP(F2(a, b, c), d, a, b, c, 10, 0x02441453u, 9)
+    MD5_STEP(F2(d, a, b), c, d, a, b, 15, 0xd8a1e681u, 14)
+    MD5_STEP(F2(c, d, a), b, c, d, a, 4, 0xe7d3fbc8u, 20)
+    MD5_STEP(F2(b, c, d), a, b, c, d, 9, 0x21e1cde6u, 5)
+    MD5_STEP(F2(a, b, c), d, a, b, c, 14, 0xc33707d6u, 9)
+    MD5_STEP(F2(d, a, b), c, d, a, b, 3, 0xf4d50d87u, 14)
+    MD5_STEP(F2(c, d, a), b, c, d, a, 8, 0x455a14edu, 20)
+    MD5_STEP(F2(b, c, d), a, b, c, d, 13, 0xa9e3e905u, 5)
+    MD5_STEP(F2(a, b, c), d, a, b, c, 2, 0xfcefa3f8u, 9)
+    MD5_STEP(F2(d, a, b), c, d, a, b, 7, 0x676f02d9u, 14)
+    MD5_STEP(F2(c, d, a), b, c, d, a, 12, 0x8d2a4c8au, 20)
+    MD5_STEP(F3(b, c, d), a, b, c, d, 5, 0xfffa3942u, 4)
+    MD5_STEP(F3(a, b, c), d, a, b, c, 8, 0x8771f681u, 11)
+    MD5_STEP(F3(d, a, b), c, d, a, b, 11, 0x6d9d6122u, 16)
+    MD5_STEP(F3(c, d, a), b, c, d, a, 14, 0xfde5380cu, 23)
+    MD5_STEP(F3(b, c, d), a, b, c, d, 1, 0xa4beea44u, 4)
+    MD5_STEP(F3(a, b, c), d, a, b, c, 4, 0x4bdecfa9u, 11)
+    MD5_STEP(F3(d, a, b), c, d, a, b, 7, 0xf6bb4b60u, 16)
+    MD5_STEP(F3(c, d, a), b, c, d, a, 10, 0xbebfbc70u, 23)
+    MD5_STEP(F3(b, c, d), a, b, c, d, 13, 0x289b7ec6u, 4)
+    MD5_STEP(F3(a, b, c), d, a, b, c, 0, 0xeaa127fau, 11)
+    MD5_STEP(F3(d, a, b), c, d, a, b, 3, 0xd4ef3085u, 16)
+    MD5_STEP(F3(c, d, a), b, c, d, a, 6, 0x04881d05u, 23)
+    MD5_STEP(F3(b, c, d), a, b, c, d, 9, 0xd9d4d039u, 4)
+    MD5_STEP(F3(a, b, c), d, a, b, c, 12, 0xe6db99e5u, 11)
+    MD5_STEP(F3(d, a, b), c, d, a, b, 15, 0x1fa27cf8u, 16)
+    MD5_STEP(F3(c, d, a), b, c, d, a, 2, 0xc4ac5665u, 23)
+    MD5_STEP(F4(b, c, d), a, b, c, d, 0, 0xf4292244u, 6)
+    MD5_STEP(F4(a, b, c), d, a, b, c, 7, 0x432aff97u, 10)
+    MD5_STEP(F4(d, a, b), c, d, a, b, 14, 0xab9423a7u, 15)
+    MD5_STEP(F4(c, d, a), b, c, d, a, 5, 0xfc93a039u, 21)
+    MD5_STEP(F4(b, c, d), a, b, c, d, 12, 0x655b59c3u, 6)
+    MD5_STEP(F4(a, b, c), d, a, b, c, 3, 0x8f0ccc92u, 10)
+    MD5_STEP(F4(d, a, b), c, d, a, b, 10, 0xffeff47du, 15)
+    MD5_STEP(F4(c, d, a), b, c, d, a, 1, 0x85845dd1u, 21)
+    MD5_STEP(F4(b, c, d), a, b, c, d, 8, 0x6fa87e4fu, 6)
+    MD5_STEP(F4(a, b, c), d, a, b, c, 15, 0xfe2ce6e0u, 10)
+    MD5_STEP(F4(d, a, b), c, d, a, b, 6, 0xa3014314u, 15)
+    MD5_STEP(F4(c, d, a), b, c, d, a, 13, 0x4e0811a1u, 21)
+    MD5_STEP(F4(b, c, d), a, b, c, d, 4, 0xf7537e82u, 6)
+    MD5_STEP(F4(a, b, c), d, a, b, c, 11, 0xbd3af235u, 10)
+    MD5_STEP(F4(d, a, b), c, d, a, b, 2, 0x2ad7d2bbu, 15)
+    MD5_STEP(F4(c, d, a), b, c, d, a, 9, 0xeb86d391u, 21)
+#undef MD5_STEP
+#undef F1
+#undef F2
+#undef F3
+#undef F4
     h[0] += a;
     h[1] += b;
     h[2] += c;
@@ -446,6 +515,43 @@ static void decode_residuals(BitReader& br, std::vector<V>& vals,
     }
   }
   if (rec) rec->end_pos = (int64_t)br.pos;
+}
+
+// Engine fast path: identical bitstream walk and values as
+// decode_residuals, but writes straight into the caller's work buffer
+// (no vector growth checks, no group recording) via the fused
+// BitReader::read_rice. The reference-structured decode_residuals
+// stays as-is for the measured CPU baseline (BASELINE.md protocol).
+template <typename V>
+static void decode_residuals_into(BitReader& br, V* out,
+                                  uint32_t block_size, uint32_t order) {
+  uint32_t coding = (uint32_t)br.read_bits(2);
+  if (coding >= 2) fail(E_INVALID_RESIDUAL_CODING_METHOD);
+  uint32_t po = (uint32_t)br.read_bits(4);
+  unsigned pbits = coding == 0 ? 4 : 5;
+  uint32_t escape = coding == 0 ? 0xF : 0x1F;
+
+  uint32_t parts = 1u << po;
+  for (uint32_t p = 0; p < parts; p++) {
+    uint32_t count = block_size >> po;
+    if (p == 0) {
+      if (count < order) fail(E_INVALID_FRAME_HEADER);
+      count -= order;
+    }
+    uint32_t k = (uint32_t)br.read_bits(pbits);
+    if (k == escape) {
+      uint32_t depth = (uint32_t)br.read_bits(5);
+      if (depth == 0) {
+        std::memset(out, 0, count * sizeof(V));
+        out += count;
+      } else {
+        for (uint32_t i = 0; i < count; i++)
+          *out++ = (V)br.read_signed(depth);
+      }
+    } else {
+      for (uint32_t i = 0; i < count; i++) *out++ = (V)br.read_rice(k);
+    }
+  }
 }
 
 // ---- measure-only residual scan (skim) ----
@@ -685,6 +791,74 @@ static inline void lpc_restore_acc(V* work, uint32_t bs, uint32_t order,
   }
 }
 
+// Transposed-form LPC restore (engine fast path): instead of gathering
+// an order-wide dot per sample, each new sample scatters its
+// contributions into a sliding accumulator window. The per-sample
+// serial critical path shrinks to one multiply + two adds + the shift
+// (the other order-1 multiply-adds are independent and pipeline), and
+// the summands are identical int64 terms in a different association —
+// bit-exact vs the gather form under two's-complement wraparound.
+template <typename V, int ORD>
+static inline void lpc_restore_tr_n(V* w, uint32_t bs,
+                                    const int64_t* coef,
+                                    uint32_t shift) {
+  int64_t c[ORD], acc[ORD];
+  for (int j = 0; j < ORD; j++) c[j] = coef[j];
+  for (int j = 0; j < ORD; j++) {
+    int64_t a = 0;
+    for (int t = 0; t < ORD; t++) {
+      int idx = ORD + j - 1 - t;
+      if (idx < ORD) a += c[t] * (int64_t)w[idx];
+    }
+    acc[j] = a;
+  }
+  for (uint32_t i = ORD; i < bs; i++) {
+    V s = w[i] + (V)(acc[0] >> shift);
+    w[i] = s;
+    for (int j = 0; j < ORD - 1; j++)
+      acc[j] = acc[j + 1] + c[j] * (int64_t)s;
+    acc[ORD - 1] = c[ORD - 1] * (int64_t)s;
+  }
+}
+
+template <typename V>
+static inline void lpc_restore_tr(V* w, uint32_t bs, uint32_t order,
+                                  const int64_t* coef, uint32_t shift) {
+  switch (order) {
+    case 1: return lpc_restore_tr_n<V, 1>(w, bs, coef, shift);
+    case 2: return lpc_restore_tr_n<V, 2>(w, bs, coef, shift);
+    case 3: return lpc_restore_tr_n<V, 3>(w, bs, coef, shift);
+    case 4: return lpc_restore_tr_n<V, 4>(w, bs, coef, shift);
+    case 5: return lpc_restore_tr_n<V, 5>(w, bs, coef, shift);
+    case 6: return lpc_restore_tr_n<V, 6>(w, bs, coef, shift);
+    case 7: return lpc_restore_tr_n<V, 7>(w, bs, coef, shift);
+    case 8: return lpc_restore_tr_n<V, 8>(w, bs, coef, shift);
+    case 9: return lpc_restore_tr_n<V, 9>(w, bs, coef, shift);
+    case 10: return lpc_restore_tr_n<V, 10>(w, bs, coef, shift);
+    case 11: return lpc_restore_tr_n<V, 11>(w, bs, coef, shift);
+    case 12: return lpc_restore_tr_n<V, 12>(w, bs, coef, shift);
+    default: {
+      int64_t c[32], acc[32];
+      for (uint32_t j = 0; j < order; j++) c[j] = coef[j];
+      for (uint32_t j = 0; j < order; j++) {
+        int64_t a = 0;
+        for (uint32_t t = 0; t < order; t++) {
+          int64_t idx = (int64_t)order + j - 1 - t;
+          if (idx < (int64_t)order) a += c[t] * (int64_t)w[idx];
+        }
+        acc[j] = a;
+      }
+      for (uint32_t i = order; i < bs; i++) {
+        V s = w[i] + (V)(acc[0] >> shift);
+        w[i] = s;
+        for (uint32_t j = 0; j + 1 < order; j++)
+          acc[j] = acc[j + 1] + c[j] * (int64_t)s;
+        acc[order - 1] = c[order - 1] * (int64_t)s;
+      }
+    }
+  }
+}
+
 // log2 ceil for the libflac-style accumulator-width predicate.
 static inline unsigned ilog2_ceil(uint32_t v) {
   unsigned r = 0;
@@ -701,6 +875,20 @@ static inline void lpc_restore(V* work, uint32_t bs, uint32_t order,
     return lpc_restore_acc<V, int32_t>(work, bs, order, coef, shift);
   }
   lpc_restore_acc<V, int64_t>(work, bs, order, coef, shift);
+}
+
+// Engine variant: transposed form for the int64-accumulator case (the
+// narrow-int32 case keeps the gather dot, which vectorizes well).
+template <typename V>
+static inline void lpc_restore_fast(V* work, uint32_t bs, uint32_t order,
+                                    const int64_t* coef, uint32_t shift,
+                                    uint32_t sample_depth,
+                                    uint32_t precision) {
+  if (sizeof(V) == 4 &&
+      sample_depth + precision + ilog2_ceil(order ? order : 1) <= 31) {
+    return lpc_restore_acc<V, int32_t>(work, bs, order, coef, shift);
+  }
+  lpc_restore_tr<V>(work, bs, order, coef, shift);
 }
 
 // ---- shared one-frame parser ----
@@ -1420,7 +1608,7 @@ static void pack_range(Range<V>& range, uint32_t si_bps, Plan* out) {
 // structural-only parse used by parallel segments (re-validated after
 // the merge). Scratch vectors are caller-owned to avoid per-frame
 // allocation. Returns the FrameInfo for post-validation.
-template <typename V, typename C>
+template <typename V, typename C, bool FAST = false>
 static FrameInfo decode_one_frame(BitReader& br, const uint8_t* data,
                                   int check_crc, uint32_t si_sample_rate,
                                   uint32_t si_bps, SeqCtx* ctx,
@@ -1527,10 +1715,16 @@ static FrameInfo decode_one_frame(BitReader& br, const uint8_t* data,
       if (order > block_size) fail(E_INVALID_SUBFRAME_HEADER);
       for (uint32_t i = 0; i < order; i++)
         work[i] = (V)br.read_signed(depth);
-      res.clear();
-      decode_residuals<V>(br, res, block_size, order);
-      res.resize(block_size - order);
-      std::memcpy(work.data() + order, res.data(), res.size() * sizeof(V));
+      if (FAST) {
+        decode_residuals_into<V>(br, work.data() + order, block_size,
+                                 order);
+      } else {
+        res.clear();
+        decode_residuals<V>(br, res, block_size, order);
+        res.resize(block_size - order);
+        std::memcpy(work.data() + order, res.data(),
+                    res.size() * sizeof(V));
+      }
       switch (order) {
         case 0: break;
         case 1:
@@ -1561,12 +1755,20 @@ static FrameInfo decode_one_frame(BitReader& br, const uint8_t* data,
       int64_t coef[32];
       for (uint32_t j = 0; j < order; j++)
         coef[j] = br.read_signed(precision);
-      res.clear();
-      decode_residuals<V>(br, res, block_size, order);
-      res.resize(block_size - order);
-      std::memcpy(work.data() + order, res.data(), res.size() * sizeof(V));
-      lpc_restore<V>(work.data(), block_size, order, coef, shift, depth,
-                     precision);
+      if (FAST) {
+        decode_residuals_into<V>(br, work.data() + order, block_size,
+                                 order);
+        lpc_restore_fast<V>(work.data(), block_size, order, coef, shift,
+                            depth, precision);
+      } else {
+        res.clear();
+        decode_residuals<V>(br, res, block_size, order);
+        res.resize(block_size - order);
+        std::memcpy(work.data() + order, res.data(),
+                    res.size() * sizeof(V));
+        lpc_restore<V>(work.data(), block_size, order, coef, shift,
+                       depth, precision);
+      }
     } else {
       fail(E_INVALID_SUBFRAME_HEADER);
     }
@@ -1615,7 +1817,8 @@ static FrameInfo decode_one_frame(BitReader& br, const uint8_t* data,
 template <typename V, typename C>
 static int decode_cpu_t(const uint8_t* data, size_t len, BitReader br,
                         Plan* out, void** out_samples,
-                        int check_crc = 0, int compute_md5 = 0) {
+                        int check_crc = 0, int compute_md5 = 0,
+                        bool fast = false) {
   uint32_t si_bps = out->si_bits_per_sample;
   SeqCtx ctx{};
   ctx.valid_total = out->si_total_samples > 0;
@@ -1634,10 +1837,15 @@ static int decode_cpu_t(const uint8_t* data, size_t len, BitReader br,
       if (ctx.valid_total) fail(E_END_OF_STREAM);
       break;
     }
-    FrameInfo f = decode_one_frame<V, C>(br, data, check_crc,
-                                         out->si_sample_rate, si_bps,
-                                         &ctx, work, res, side_buf,
-                                         samples);
+    FrameInfo f =
+        fast ? decode_one_frame<V, C, true>(br, data, check_crc,
+                                            out->si_sample_rate, si_bps,
+                                            &ctx, work, res, side_buf,
+                                            samples)
+             : decode_one_frame<V, C>(br, data, check_crc,
+                                      out->si_sample_rate, si_bps,
+                                      &ctx, work, res, side_buf,
+                                      samples);
     pcm_start += f.block_size;
     nframes++;
   }
@@ -1763,7 +1971,7 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
             for (;;) {
               if ((int64_t)br.byte_pos() >= hi) break;
               if (br.pos + 32 > br.nbits()) break;
-              r.frames.push_back(decode_one_frame<V, C>(
+              r.frames.push_back(decode_one_frame<V, C, true>(
                   br, data, check_crc, out->si_sample_rate, si_bps,
                   nullptr, work, res, side_buf, r.pcm));
             }
@@ -1904,7 +2112,7 @@ static int decode_auto_t(const uint8_t* data, size_t len, BitReader br,
       return OK;
   }
   return decode_cpu_t<V, C>(data, len, br, out, out_samples, check_crc,
-                            compute_md5);
+                            compute_md5, /*fast=*/true);
 }
 
 // ---- native phase-2: plan -> PCM (threaded over frames) ----
@@ -1962,8 +2170,8 @@ static void reconstruct_frames_range(const Plan* p, size_t f_lo,
         int64_t coef[32];
         const int32_t* cr = p->coeffs_rev + s * 32;
         for (int j = 0; j < order; j++) coef[j] = cr[31 - j];
-        lpc_restore<V>(work.data(), bs, (uint32_t)order, coef,
-                       (uint32_t)shift, 33, 16);  // conservative: i64
+        lpc_restore_fast<V>(work.data(), bs, (uint32_t)order, coef,
+                            (uint32_t)shift, 33, 16);  // i64 acc
       }  // kind==1 verbatim: row already holds the samples
       if ((int)ch == side) {
         side_buf.resize(bs);
