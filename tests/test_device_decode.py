@@ -1,0 +1,164 @@
+"""Device-resident decode (pack2 fast path, runtime/device.py):
+differential tests against the native engine across the corpus, plus
+kernel-level checks for the v2 Rice bit-unpack (G2=16 groups, windows
+emitted by the C++ scan) and the transposed-form LPC kernel.
+
+The CPU suite exercises the shared jnp math (`use_pallas=False` path is
+selected automatically off-TPU); the Pallas kernels themselves are
+covered by interpret-mode tests here and by tests/test_tpu_smoke.py on
+real hardware."""
+
+import numpy as np
+import pytest
+
+import zflac_tpu
+from zflac_tpu.errors import InvalidChecksum
+from zflac_tpu.index.native_indexer import (
+    build_plan_native,
+    native_available,
+    pack2_range,
+)
+from zflac_tpu.ops.rice16 import G2, _unpack16_math
+from zflac_tpu.testing import make_corpus
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native indexer unavailable")
+
+_NAMES = sorted(make_corpus().keys())
+
+
+def _rows_from_pack2(ck):
+    """Host-side reference reconstruction of residual rows from a
+    packed chunk (the same math the device runs)."""
+    import jax
+    buf, off = ck.buf, ck.off
+    W, NGp, Sp, Bp, GPB, S = ck.W, ck.NGp, ck.Sp, ck.Bp, ck.GPB, ck.S
+    win = buf[off["win"]:off["win"] + W * NGp].view(np.uint32)
+    win = win.reshape(W, NGp)
+    meta = buf[off["meta"]:off["meta"] + NGp].reshape(1, NGp)
+    out = np.asarray(jax.jit(_unpack16_math)(win, meta))
+    rows = out[:, :Sp * GPB].T.reshape(Sp, GPB * G2)[:, :Bp]
+    order = buf[off["order"]:off["order"] + Sp]
+    warmlen = buf[off["warmlen"]:off["warmlen"] + Sp]
+    warm = buf[off["warm"]:off["warm"] + Sp * 32].reshape(Sp, 32)
+    col = np.arange(Bp)[None, :]
+    warm_p = np.zeros((Sp, Bp), np.int32)
+    warm_p[:, :32] = warm
+    rows = np.where(col < warmlen[:, None], warm_p, rows)
+    pidx = buf[off["pidx"]:off["pidx"] + ck.n_patch_p]
+    pval = buf[off["pval"]:off["pval"] + ck.n_patch_p]
+    flat = rows.reshape(-1)
+    m = pidx < Sp * Bp
+    flat[pidx[m]] = pval[m]
+    rows = flat.reshape(Sp, Bp)
+    bssub = buf[off["bssub"]:off["bssub"] + Sp]
+    rows = np.where(col < bssub[:, None], rows, 0)
+    assert int(order[:S].max(initial=0)) <= 32
+    return rows[:S]
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_pack2_rows_match_host(name, corpus):
+    """The C++ pack2 scan + v2 unpack math reproduce the host-decoded
+    residual rows bit-exactly."""
+    data, pcm, sr, bps = corpus[name]
+    plan = build_plan_native(data)
+    if plan.rows is None or plan.rows.dtype != np.int32:
+        pytest.skip("int64 stream (general engine path)")
+    from zflac_tpu.bitio import BitReader
+    from zflac_tpu.oracle import parse_metadata
+    br = BitReader(data)
+    info = parse_metadata(br)
+    ck = pack2_range(data, br.pos // 8, len(data), info)
+    if ck is None:
+        pytest.skip("pack2 declined (exotic stream)")
+    assert ck.F == plan.num_frames
+    rows = _rows_from_pack2(ck)
+    ref = np.zeros((plan.num_subframes, ck.Bp), np.int32)
+    ref[:, :plan.rows.shape[1]] = plan.rows.astype(np.int32)[:, :ck.Bp]
+    np.testing.assert_array_equal(rows, ref)
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_device_decode_matches_native(name, corpus):
+    """decode_to_device -> to_host() equals the native engine end to
+    end (samples, metadata, MD5 verification)."""
+    data, pcm, sr, bps = corpus[name]
+    ref = zflac_tpu.decode(data, engine="native")
+    dd = zflac_tpu.decode_to_device(data)
+    if dd is None:
+        pytest.skip("pack2 declined (wide/exotic stream)")
+    got = dd.to_host()  # verifies stream MD5
+    np.testing.assert_array_equal(got.interleaved, ref.interleaved)
+    assert (got.channels, got.sample_rate, got.bits_per_sample) == (
+        ref.channels, ref.sample_rate, ref.bits_per_sample)
+
+
+def test_device_decode_chunked(corpus):
+    """Multi-chunk pipeline: same output as single-shot, chunk shapes
+    pinned so the stream compiles once."""
+    data, *_ = corpus["lpc order 8"]
+    ref = zflac_tpu.decode(data, engine="native")
+    dd = zflac_tpu.decode_to_device(data, chunk_frames=2)
+    assert dd is not None and len(dd.chunks) > 1
+    got = dd.to_host()
+    np.testing.assert_array_equal(got.interleaved, ref.interleaved)
+
+
+def test_device_decode_detects_corruption(corpus):
+    """A flipped residual bit fails MD5 at to_host (the reference's
+    decode-time integrity check, zflac.zig:267-280)."""
+    data, *_ = corpus["lpc order 8"]
+    bad = bytearray(data)
+    bad[-200] ^= 0x10
+    dd = zflac_tpu.decode_to_device(bytes(bad))
+    if dd is None:
+        pytest.skip("corruption declined the fast path")
+    with pytest.raises(InvalidChecksum):
+        dd.to_host()
+
+
+def test_lpc2_kernel_interpret_matches_scan():
+    """Transposed-form Pallas LPC kernel (interpret mode) == the XLA
+    scan reference across random orders/shifts."""
+    import jax
+    import jax.numpy as jnp
+    from zflac_tpu.ops.lpc2 import lpc2_reconstruct_inline
+    from zflac_tpu.runtime.reconstruct import _lpc_scan
+
+    rng = np.random.default_rng(7)
+    n, B, hist = 128, 64, 8
+    rows = rng.integers(-3000, 3000, (n, B)).astype(np.int32)
+    order = rng.integers(1, hist + 1, n).astype(np.int32)
+    shift = rng.integers(0, 14, n).astype(np.int32)
+    cf = np.zeros((n, 32), np.int32)
+    for i in range(n):
+        cf[i, :order[i]] = rng.integers(-2048, 2048, order[i])
+    ref = np.asarray(jax.jit(_lpc_scan)(
+        jnp.asarray(rows), jnp.asarray(cf[:, ::-1].copy()),
+        jnp.asarray(shift), jnp.asarray(order)))
+    out = lpc2_reconstruct_inline(
+        jnp.asarray(rows.T), jnp.asarray(cf[:, :hist].T.copy()),
+        jnp.asarray(shift[None, :]), jnp.asarray(order[None, :]),
+        lanes=128, hist=hist, unroll=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out).T, ref)
+
+
+def test_rice16_meta_packing_sanity(corpus):
+    """Group metadata invariants: valid groups carry pos0 in [0, 32),
+    k in [0, 32) or escape, skip <= order."""
+    data, *_ = corpus["lpc order 8"]
+    from zflac_tpu.bitio import BitReader
+    from zflac_tpu.oracle import parse_metadata
+    br = BitReader(data)
+    info = parse_metadata(br)
+    ck = pack2_range(data, br.pos // 8, len(data), info)
+    assert ck is not None
+    meta = ck.buf[ck.off["meta"]:ck.off["meta"] + ck.NGp]
+    k6 = (meta >> 5) & 63
+    valid = k6 != 63
+    assert valid.any()
+    assert ((meta[valid] & 31) >= 0).all()
+    assert (((meta[valid] >> 16) & 31) <= 32).all()
+    # W adaptively 8 or 16
+    assert ck.W in (8, 16)

@@ -86,6 +86,19 @@ def decode_pipelined(data, **kwargs):
     return _dp(bytes(data), **kwargs)
 
 
+def decode_to_device(data, **kwargs):
+    """Decode to device-resident PCM (the pack2 fast path: C++
+    measure-only scan -> one packed buffer -> one dispatch per chunk;
+    runtime/device.py). Returns a DeviceDecoded whose chunks live in
+    HBM, or None when the fast path declines (fall back to
+    decode(engine="tpu"))."""
+    from .runtime.device import decode_to_device as _dd
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        with open(data, "rb") as f:
+            data = f.read()
+    return _dd(bytes(data), **kwargs)
+
+
 def stream_decode(data, **kwargs):
     """Generator yielding PCM chunks as they decode (playback-style
     consumption; runtime/decode.py)."""

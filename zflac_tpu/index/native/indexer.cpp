@@ -37,6 +37,8 @@ enum ErrCode : int {
   E_INVALID_CHECKSUM = 9,
   E_END_OF_STREAM = 10,
   E_UNIMPLEMENTED = 11,
+  // Pack2 fast path declined (caller falls back to the general engine).
+  E_PACK2_FALLBACK = 101,
 };
 
 struct Thrown { int code; };
@@ -2257,7 +2259,71 @@ static void parse_stream_meta(BitReader& br, Plan* out) {
 
 }  // namespace
 
+#include "pack2_helpers.inc"
+
 extern "C" {
+
+// Pack2 range scan: parse whole frames in [start_byte, stop_byte) (at
+// most max_frames) and emit the packed device buffer (pack2_helpers.inc).
+// start_byte must be a frame boundary; *out.landed is the byte offset
+// after the last parsed frame (the next chunk's start). force_Fp /
+// force_Bp / force_W pin the padded geometry so every chunk of a stream
+// compiles to the same XLA program (0 = choose automatically).
+// Returns OK, or an error code with no buffer allocated.
+int zfi_pack2_range(const uint8_t* data, size_t len, uint64_t start_byte,
+                    uint64_t stop_byte, int32_t max_frames,
+                    uint32_t si_sample_rate, uint32_t si_bps,
+                    uint32_t si_channels, int check_crc, int32_t force_Fp,
+                    int32_t force_Bp, int32_t force_W, Pack2* out) {
+  std::memset(out, 0, sizeof(Pack2));
+  out->landed = -1;
+  uint32_t aligned = (si_bps + 7) & ~7u;
+  if (aligned > 16) return E_PACK2_FALLBACK;
+  try {
+    Pack2Range r;
+    BitReader br{data, len, start_byte * 8};
+    int err = OK;
+    for (;;) {
+      if (br.byte_pos() >= stop_byte) break;
+      if (max_frames > 0 && (int32_t)r.frames.size() >= max_frames) break;
+      if (br.pos + 32 > br.nbits()) break;
+      size_t subs_cp = r.subs.size();
+      size_t grp_cp = r.groups.size();
+      size_t p_cp = r.p_sub.size();
+      size_t d_cp = r.d_grp.size();
+      size_t dv_cp = r.d_val.size();
+      uint64_t pos_cp = br.pos;
+      try {
+        parse_frame_pack2(br, data, si_sample_rate, si_bps, si_channels,
+                          check_crc, r);
+      } catch (const Thrown& t) {
+        r.subs.resize(subs_cp);
+        r.groups.resize(grp_cp);
+        r.p_sub.resize(p_cp); r.p_pos.resize(p_cp); r.p_val.resize(p_cp);
+        r.d_grp.resize(d_cp);
+        r.d_sub.resize(d_cp); r.d_at.resize(d_cp); r.d_n.resize(d_cp);
+        r.d_val.resize(dv_cp);
+        br.seek(pos_cp);
+        err = t.code;
+        break;
+      }
+    }
+    if (err == E_PACK2_FALLBACK) return err;  // decline: no buffer
+    out->landed = (int64_t)br.byte_pos();
+    out->bits_per_sample = (int32_t)si_bps;
+    emit_pack2(data, len, r, force_Fp, force_Bp, force_W, out);
+    return err;
+  } catch (const Thrown& t) {
+    return t.code;
+  } catch (...) {
+    return E_UNIMPLEMENTED;
+  }
+}
+
+void zfi_pack2_free(Pack2* p) {
+  std::free(p->buf);
+  std::memset(p, 0, sizeof(Pack2));
+}
 
 // One-call native decode: parallel index + threaded reconstruction.
 // Fills the plan (caller frees with zfi_free) and a malloc'd PCM buffer

@@ -17,6 +17,7 @@ from ..plan import StreamPlan
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _SRC = os.path.join(_NATIVE_DIR, "indexer.cpp")
+_SRC_INCS = (os.path.join(_NATIVE_DIR, "pack2_helpers.inc"),)
 _SO = os.path.join(_NATIVE_DIR, "libzflac_index.so")
 
 _lock = threading.Lock()
@@ -91,6 +92,138 @@ class _Plan(ctypes.Structure):
     ]
 
 
+class _Pack2(ctypes.Structure):
+    """Mirror of struct Pack2 in index/native/pack2_helpers.inc."""
+    _fields_ = [
+        ("buf", ctypes.POINTER(ctypes.c_int32)),
+        ("device_words", ctypes.c_int64),
+        ("total_words", ctypes.c_int64),
+        ("F", ctypes.c_int32), ("C", ctypes.c_int32),
+        ("S", ctypes.c_int32), ("B", ctypes.c_int32),
+        ("Fp", ctypes.c_int32), ("Sp", ctypes.c_int32),
+        ("Bp", ctypes.c_int32), ("GPB", ctypes.c_int32),
+        ("W", ctypes.c_int32), ("NGp", ctypes.c_int32),
+        ("n_patch", ctypes.c_int32), ("n_patch_p", ctypes.c_int32),
+        ("class_kind", ctypes.c_int32 * 8),
+        ("class_n", ctypes.c_int32 * 8),
+        ("class_np", ctypes.c_int32 * 8),
+        ("n_classes", ctypes.c_int32), ("_pad0", ctypes.c_int32),
+        ("off_win", ctypes.c_int64), ("off_meta", ctypes.c_int64),
+        ("off_kind", ctypes.c_int64), ("off_order", ctypes.c_int64),
+        ("off_wasted", ctypes.c_int64), ("off_shift", ctypes.c_int64),
+        ("off_cfwd", ctypes.c_int64), ("off_seeds", ctypes.c_int64),
+        ("off_warm", ctypes.c_int64), ("off_warmlen", ctypes.c_int64),
+        ("off_bssub", ctypes.c_int64), ("off_chcode", ctypes.c_int64),
+        ("off_pidx", ctypes.c_int64), ("off_pval", ctypes.c_int64),
+        ("off_ci", ctypes.c_int64 * 8),
+        ("off_f_bs", ctypes.c_int64), ("off_f_chcode", ctypes.c_int64),
+        ("off_f_coded", ctypes.c_int64), ("off_f_start", ctypes.c_int64),
+        ("landed", ctypes.c_int64),
+        ("total_block_samples", ctypes.c_int64),
+        ("sample_rate", ctypes.c_int32),
+        ("bits_per_sample", ctypes.c_int32),
+        ("do_decorrelate", ctypes.c_int32),
+        ("variable_blocking", ctypes.c_int32),
+    ]
+
+
+# Class ids emitted by emit_pack2 (pack2_helpers.inc), in order.
+PACK2_CLASSES = ("const", "verbatim", "fixed", "lpc8", "lpc16", "lpc32")
+
+
+class Pack2Chunk:
+    """One packed device chunk: a zero-copy int32 view over the native
+    buffer plus the static geometry the jitted reconstruction needs.
+    The native allocation is freed when this object is collected."""
+
+    def __init__(self, lib, p: _Pack2):
+        import weakref
+        self._p = p
+        self._lib = lib
+        self.buf = _as_array(p.buf, (int(p.total_words),), np.int32)
+        self.device_words = int(p.device_words)
+        self.F, self.C, self.S, self.B = p.F, p.C, p.S, p.B
+        self.Fp, self.Sp, self.Bp = p.Fp, p.Sp, p.Bp
+        self.GPB, self.W, self.NGp = p.GPB, p.W, p.NGp
+        self.n_patch, self.n_patch_p = p.n_patch, p.n_patch_p
+        self.classes = tuple(
+            (PACK2_CLASSES[p.class_kind[i]], int(p.class_n[i]),
+             int(p.class_np[i]))
+            for i in range(p.n_classes))
+        self.landed = int(p.landed)
+        self.total_block_samples = int(p.total_block_samples)
+        self.sample_rate = int(p.sample_rate)
+        self.bits_per_sample = int(p.bits_per_sample)
+        self.do_decorrelate = bool(p.do_decorrelate)
+        self.variable_blocking = int(p.variable_blocking)
+        # Section offsets (int32 words into buf).
+        self.off = {
+            "win": int(p.off_win), "meta": int(p.off_meta),
+            "kind": int(p.off_kind), "order": int(p.off_order),
+            "wasted": int(p.off_wasted), "shift": int(p.off_shift),
+            "cfwd": int(p.off_cfwd), "seeds": int(p.off_seeds),
+            "warm": int(p.off_warm), "warmlen": int(p.off_warmlen),
+            "bssub": int(p.off_bssub), "chcode": int(p.off_chcode),
+            "pidx": int(p.off_pidx), "pval": int(p.off_pval),
+        }
+        for i, (name, _, _) in enumerate(self.classes):
+            self.off["ci_" + name] = int(p.off_ci[i])
+        # Host-only frame table views.
+        self.f_block_size = self.buf[
+            p.off_f_bs:p.off_f_bs + p.F].copy()
+        self.f_channel_code = self.buf[
+            p.off_f_chcode:p.off_f_chcode + p.F].copy()
+        self.f_coded_number = self.buf[
+            p.off_f_coded:p.off_f_coded + 2 * p.F].view(np.int64).copy()
+        self.f_byte_offset = self.buf[
+            p.off_f_start:p.off_f_start + 2 * p.F].view(np.int64).copy()
+        self._finalizer = weakref.finalize(
+            self, lib.zfi_pack2_free, ctypes.byref(p))
+
+    @property
+    def device_buf(self) -> np.ndarray:
+        """The upload slice (plan sections; excludes the host tail)."""
+        return self.buf[:self.device_words]
+
+    def spec_key(self):
+        """Static jit key: geometry + section layout."""
+        return (self.Fp, self.Sp, self.Bp, self.GPB, self.W, self.NGp,
+                self.n_patch_p, self.C,
+                tuple((n, np_) for n, _, np_ in self.classes),
+                tuple(sorted(self.off.items())))
+
+
+def pack2_range(data: bytes, start_byte: int, stop_byte: int,
+                info: StreamInfo, check_crc: bool = False,
+                max_frames: int = 0, force_fp: int = 0,
+                force_bp: int = 0, force_w: int = 0):
+    """Measure-only scan of whole frames in [start_byte, stop_byte)
+    emitting the packed device buffer (pack2 fast path). Returns a
+    Pack2Chunk, or None when the fast path declines (caller falls back
+    to the general engine). Raises the mapped typed error on malformed
+    input before any frame parses."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = _Pack2()
+    rc = lib.zfi_pack2_range(
+        data, len(data), start_byte, stop_byte, max_frames,
+        info.sample_rate, info.bits_per_sample, info.channel_count,
+        1 if check_crc else 0, force_fp, force_bp, force_w,
+        ctypes.byref(p))
+    if rc in (100, 101):
+        return None
+    if rc != 0 and not p.buf:
+        raise ERROR_MAP.get(rc, err.Unimplemented)("pack2 scan failed")
+    if rc != 0:
+        # Partial parse: frames before the error are packed; the caller
+        # decides (tolerant modes). For the strict path, treat a
+        # mid-stream error as fatal.
+        lib.zfi_pack2_free(ctypes.byref(p))
+        raise ERROR_MAP.get(rc, err.Unimplemented)("pack2 scan failed")
+    return Pack2Chunk(lib, p)
+
+
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
            "-fPIC", "-o", _SO, _SRC]
@@ -106,8 +239,9 @@ def _load():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        src_mtime = max(os.path.getmtime(p) for p in (_SRC,) + _SRC_INCS
+                        if os.path.exists(p))
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
             if not _build():
                 _build_failed = True
                 return None
@@ -158,6 +292,15 @@ def _load():
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64,
             ctypes.c_uint64, ctypes.POINTER(_Plan), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64)]
+        lib.zfi_pack2_range.restype = ctypes.c_int
+        lib.zfi_pack2_range.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_int32, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(_Pack2)]
+        lib.zfi_pack2_free.restype = None
+        lib.zfi_pack2_free.argtypes = [ctypes.POINTER(_Pack2)]
         _lib = lib
         return _lib
 

@@ -1,0 +1,121 @@
+"""Pallas TPU kernel for the batched LPC recurrence, v2.
+
+The LPC time loop is inherently sequential (the `>> shift` inside the
+recurrence is nonlinear — /root/reference/src/zflac.zig:526-533;
+SURVEY.md §7 fact 3). The v1 kernel (ops/lpc.py) recomputed the full
+32-tap dot product every step: a cross-sublane reduction tree sits on
+the loop-carried dependency path, ~40+ cycles per sample.
+
+v2 uses the *transposed direct form*: keep a running partial-sum
+pipeline P[hist, L] where P[r] holds the partial prediction for time
+t+1+r accumulated from all samples produced so far. Per step:
+
+    pred_t   = P[0]                       (ready-made, no reduction)
+    out_t    = res[t] + (pred_t >> shift)   for t >= order
+    P        = shift_up(P) + out_t * Cf     (vector FMA, off the
+                                             critical path except P[1])
+
+with Cf[r] = c_{r+1} (the coefficient of s[t-1-r]). The loop-carried
+chain is out_t -> mul c_1 -> add -> (next) shift/add: ~5 ops instead of
+a 32-wide reduction. int32 wraparound addition is associative, so the
+reordered accumulation is bit-exact vs the reference's index-order sum.
+
+History depth is bucketed (hist = 8 / 16 / 32) by LPC order so common
+music (order <= 8) pays a [8, L] pipeline, not [32, L].
+
+The kernel is int32 (Mosaic has no int64): the same accumulator width
+the reference uses for <=16-bit streams (InterType, zflac.zig:314-319).
+Wider streams take the XLA scan path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lpc2_kernel(rows_ref, cfwd_ref, shift_ref, order_ref, out_ref, *,
+                 hist: int, unroll: int):
+    B = rows_ref.shape[0]
+    L = rows_ref.shape[1]
+    cfwd = cfwd_ref[:, :]              # [hist, L], row r = c_{r+1}
+    shift = shift_ref[:, :]            # [1, L]
+    order = order_ref[:, :]            # [1, L]
+    zrow = jnp.zeros((1, L), jnp.int32)
+
+    def step(carry):
+        i, P = carry
+        t = pl.multiple_of(i * unroll, unroll)
+        res = rows_ref[pl.ds(t, unroll), :]          # [unroll, L]
+        outs = []
+        for u in range(unroll):
+            pred = jnp.right_shift(P[0:1, :], shift)
+            out = jnp.where(t + u >= order, res[u:u + 1, :] + pred,
+                            res[u:u + 1, :])
+            outs.append(out)
+            # Rolling pipeline: drop the consumed head, add this
+            # sample's contribution to the next `hist` predictions.
+            P = jnp.concatenate([P[1:, :], zrow], axis=0) + out * cfwd
+        out_ref[pl.ds(t, unroll), :] = jnp.concatenate(outs, axis=0)
+        return i + jnp.int32(1), P
+
+    jax.lax.while_loop(
+        lambda c: c[0] < jnp.int32(B // unroll), step,
+        (jnp.int32(0), jnp.zeros((hist, L), jnp.int32)))
+
+
+def lpc2_reconstruct_inline(rows_t, cfwd_t, shift, order, *,
+                            lanes: int = 512, hist: int = 8,
+                            unroll: int = 8, interpret: bool = False):
+    """rows_t: [B, S] int32 (time-major; warm-ups at t < order,
+    residuals after); cfwd_t: [hist, S] with row r = c_{r+1} (zero for
+    r >= order); shift/order: [1, S]. S must be a multiple of `lanes`,
+    B of `unroll`, every order <= hist. Returns the reconstructed
+    signal [B, S] int32. Not jitted: inline under the caller's jit."""
+    B, S = rows_t.shape
+    assert S % lanes == 0 and B % unroll == 0
+    assert unroll % 8 == 0, "sublane alignment requires unroll % 8 == 0"
+    assert cfwd_t.shape[0] == hist
+    grid = (S // lanes,)
+    kernel = functools.partial(_lpc2_kernel, hist=hist, unroll=unroll)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, lanes), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hist, lanes), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, lanes), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S), jnp.int32),
+        interpret=interpret,
+    )(rows_t, cfwd_t, shift, order)
+
+
+def lpc2_lanes(n: int, B: int) -> int:
+    """Widest lane count dividing n that keeps rows + out blocks in
+    VMEM. Pallas double-buffers grid blocks, so the footprint is
+    2 x (in + out) = 4 block copies."""
+    for lanes in (512, 256, 128):
+        if n % lanes == 0 and 4 * B * lanes * 4 <= 14 * 2**20:
+            return lanes
+    return 128
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lanes", "hist", "unroll", "interpret"))
+def lpc2_reconstruct_tpu(rows_t, cfwd_t, shift, order, lanes=512, hist=8,
+                         unroll=8, interpret=False):
+    return lpc2_reconstruct_inline(rows_t, cfwd_t, shift, order,
+                                   lanes=lanes, hist=hist, unroll=unroll,
+                                   interpret=interpret)

@@ -1,0 +1,167 @@
+"""Pallas TPU Rice/bit-unpack kernel, v2 (pack2 path).
+
+Same measured-offset two-phase design as ops/rice.py (the host scan
+walks the serial bitstream once and records group offsets; extraction
+is then data-parallel over groups — SURVEY.md §7 fact 4), but with the
+geometry tuned from profiling the v1 kernel on TPU v5e:
+
+  * G2 = 16 residuals per group (v1: 8) — halves per-group metadata
+    and lane-management overhead;
+  * the window is emitted by the C++ scan directly into the packed
+    device buffer (pack2_helpers.inc), so there is NO device-side
+    window gather (the v1 skim path's dominant cost: an XLA gather of
+    [W, NG] from the word table);
+  * W = 8 words per group (adaptively 16 for high-k streams), chosen by
+    the scan from the measured spans — 2 bytes of upload per residual;
+  * ONE 64-bit extract per residual: the host envelope guarantees
+    q <= 40 and q + 1 + k <= 64, so the quotient, the terminator, and
+    the remainder all live in the 64 bits at the residual's start
+    (v1 performed a second full extract for the remainder);
+  * per-group metadata packed in one int32:
+    pos0(5) | k(6: 0-31 rice, 62 escape, 63 invalid) | depth(5) |
+    skip(5).
+
+Escaped partitions (fixed-width raw residuals) ride the same kernel.
+Groups outside the envelope are invalidated by the host and patched
+from scan-recorded values. Mirrors the semantics of
+/root/reference/src/zflac.zig:635-666 (decode_residual_partition).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+G2 = 16
+K2_ESCAPE = 62
+K2_INVALID = 63
+
+
+def _clz32(u):
+    """Count leading zeros of a uint32 vector (exact integer math:
+    smear the MSB down, then SWAR popcount)."""
+    u = u | (u >> 1)
+    u = u | (u >> 2)
+    u = u | (u >> 4)
+    u = u | (u >> 8)
+    u = u | (u >> 16)
+    v = u - ((u >> 1) & jnp.uint32(0x55555555))
+    v = (v & jnp.uint32(0x33333333)) + ((v >> 2) & jnp.uint32(0x33333333))
+    v = (v + (v >> 4)) & jnp.uint32(0x0F0F0F0F)
+    pop = (v * jnp.uint32(0x01010101)) >> 24
+    return (jnp.uint32(32) - pop).astype(jnp.int32)
+
+
+def _bitcast_i32(u):
+    return jax.lax.bitcast_convert_type(u, jnp.int32)
+
+
+def _select_word(win, wi, c_lo, c_hi):
+    """win[wi] per lane via a select chain (win: [W, L] uint32;
+    wi: [1, L] int32; rows outside [c_lo, c_hi] read as 0)."""
+    acc = jnp.zeros_like(win[0:1])
+    for c in range(c_lo, c_hi + 1):
+        acc = jnp.where(wi == c, win[c:c + 1], acc)
+    return acc
+
+
+def _unpack16_math(win, meta):
+    """Shared kernel body (runs inside pallas on TPU and, via jnp on
+    host arrays, as the reference implementation for CPU paths/tests).
+
+    win: [W, L] uint32 — native-endian values of the big-endian stream
+    words containing each group's bits; meta: [1, L] int32 packed
+    pos0|k|depth|skip. Returns out [G2, L] int32."""
+    W = win.shape[0]
+    pos = meta & 31
+    k6 = (meta >> 5) & 63
+    depth = (meta >> 11) & 31
+    skip = (meta >> 16) & 31
+
+    valid = k6 != K2_INVALID
+    is_escape = k6 == K2_ESCAPE
+    kk = jnp.where(is_escape | ~valid, 0, k6).astype(jnp.uint32)
+    d = depth.astype(jnp.uint32)
+    du = jnp.minimum(32 - depth, 31)
+
+    outs = []
+    for j in range(G2):
+        active = valid & (j >= skip)
+        wi = pos >> 5
+        b = (pos & 31).astype(jnp.uint32)
+        w0 = _select_word(win, wi, 0, W - 3)
+        w1 = _select_word(win, wi + 1, 1, W - 2)
+        w2 = _select_word(win, wi + 2, 2, W - 1)
+        # (x >> 1) >> (31 - b) == x >> (32 - b), defined for b == 0.
+        chunk = (w0 << b) | ((w1 >> 1) >> (jnp.uint32(31) - b))
+        chunk2 = (w1 << b) | ((w2 >> 1) >> (jnp.uint32(31) - b))
+
+        # Unary quotient from the 64 bits at pos (host: q <= 40).
+        zeros = jnp.where(chunk != 0, _clz32(chunk),
+                          32 + _clz32(chunk2))
+        # Remainder: k bits starting at zeros+1 within (chunk, chunk2);
+        # host envelope q + 1 + k <= 64 keeps it inside. sh is clamped
+        # so garbage lanes (decoding past their last real residual)
+        # stay shift-defined; their values are masked downstream.
+        sh = jnp.minimum(zeros + 1, 41).astype(jnp.uint32)
+        fhi = jnp.where(
+            sh < 32,
+            (chunk << sh) | ((chunk2 >> 1) >> (jnp.uint32(31) - sh)),
+            chunk2 << (sh & 31))
+        rem = jnp.where(kk > 0, fhi >> (jnp.uint32(32) - kk),
+                        jnp.uint32(0))
+        q = zeros.astype(jnp.uint32)
+        zz = (q << kk) | rem
+        # Zigzag decode in uint32 wraparound == the int32 bit pattern
+        # (zflac.zig:663-664).
+        rice_val = _bitcast_i32((zz >> 1) ^ (jnp.uint32(0) - (zz & 1)))
+        rice_adv = zeros + 1 + kk.astype(jnp.int32)
+
+        # Escape path: fixed-width signed residual (arithmetic shift
+        # sign-extends the depth-bit value; depth == 0 -> all zeros).
+        esc_val = jnp.where(depth > 0, _bitcast_i32(chunk) >> du, 0)
+        esc_adv = depth
+
+        value = jnp.where(is_escape, esc_val, rice_val)
+        adv = jnp.where(is_escape, esc_adv, rice_adv)
+        outs.append(jnp.where(active, value, 0).astype(jnp.int32))
+        pos = jnp.where(active, pos + adv, pos)
+    return jnp.concatenate(outs, axis=0)
+
+
+def _rice16_kernel(win_ref, meta_ref, out_ref):
+    out_ref[:, :] = _unpack16_math(win_ref[:, :], meta_ref[:, :])
+
+
+def rice16_unpack_inline(windows, meta, *, lanes: int = 2048,
+                         interpret: bool = False):
+    """windows: [W, NG] uint32; meta: [1, NG] int32 with NG a multiple
+    of `lanes`. Returns residuals [G2, NG] int32. Not jitted: inline
+    under the caller's jit."""
+    W, NG = windows.shape
+    assert NG % lanes == 0
+    grid = (NG // lanes,)
+    return pl.pallas_call(
+        _rice16_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((W, lanes), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G2, lanes), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G2, NG), jnp.int32),
+        interpret=interpret,
+    )(windows, meta)
+
+
+@functools.partial(jax.jit, static_argnames=("lanes", "interpret"))
+def rice16_unpack_tpu(windows, meta, lanes=2048, interpret=False):
+    return rice16_unpack_inline(windows, meta, lanes=lanes,
+                                interpret=interpret)

@@ -1,0 +1,306 @@
+"""Device-resident decode: the pack2 fast path.
+
+`decode_to_device()` is the TPU-native product surface: compressed FLAC
+bytes on the host become PCM in device HBM, ready for on-device
+consumers (feature extraction, training input pipelines, on-device
+playback buffers) with no decoded-PCM round trip through host RAM.
+This is the decode analog of GPU-resident data loading.
+
+Phases (SURVEY.md §7):
+  1. C++ measure-only scan emits ONE packed int32 buffer per chunk
+     (zfi_pack2_range: per-group bit windows, packed group metadata,
+     plan arrays, patches, class gather lists) — no Python packing,
+     no device-side gather;
+  2. one H2D transfer + one jitted dispatch per chunk: the rice16
+     Pallas kernel extracts residuals, the lpc2 Pallas kernel runs the
+     order-bucketed LPC recurrence, fixed orders integrate as masked
+     cumsums, then wasted-bits/decorrelation/container wrap.
+
+Chunks share static geometry (Fp/Bp/W pinned by the first chunk), so
+the stream compiles once; scan, transfer, and compute overlap across
+chunks (dispatch is asynchronous).
+
+Bit-exactness: every chunk's PCM equals the reference semantics
+(differential tests vs the native engine and the oracle,
+tests/test_device_decode.py). MD5 verification requires the decoded
+bytes (host), so the device path verifies frame CRC-8/16 on the scan
+when `check_crc=True` (stronger than the reference, which never checks
+them — zflac.zig:408-410,550-551) and `DeviceDecoded.to_host()`
+verifies the stream MD5 like the reference's decode (zflac.zig:267-280).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import format as fmt
+from ..errors import InconsistentParameters, InvalidChecksum
+from ..result import DecodedFLAC, container_dtype
+
+
+def _on_tpu() -> bool:
+    try:
+        target = jax.config.jax_default_device or jax.devices()[0]
+        return target.platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+def _sect(buf, off: int, n: int):
+    return jax.lax.dynamic_slice_in_dim(buf, off, n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "num_channels", "container_bits",
+                     "do_decorrelate", "use_pallas"))
+def reconstruct_pack2(buf, *, spec, num_channels: int,
+                      container_bits: int, do_decorrelate: bool,
+                      use_pallas: bool):
+    """One packed pack2 chunk -> container-width PCM [Fp, Bp, C].
+
+    `spec` is Pack2Chunk.spec_key(): (Fp, Sp, Bp, GPB, W, NGp,
+    n_patch_p, C, classes, offsets) — static, so each stream geometry
+    compiles once and chunks reuse the executable."""
+    from ..ops.rice16 import G2, _unpack16_math, rice16_unpack_inline
+    (Fp, Sp, Bp, GPB, W, NGp, n_patch_p, C, classes, off_items) = spec
+    off = dict(off_items)
+    classes = dict(classes)  # name -> padded gather-list length
+
+    win = jax.lax.bitcast_convert_type(
+        _sect(buf, off["win"], W * NGp).reshape(W, NGp), jnp.uint32)
+    meta = _sect(buf, off["meta"], NGp).reshape(1, NGp)
+    order = _sect(buf, off["order"], Sp)
+    wasted = _sect(buf, off["wasted"], Sp)
+    shift = _sect(buf, off["shift"], Sp)
+    cfwd = _sect(buf, off["cfwd"], Sp * 32).reshape(Sp, 32)
+    seeds = _sect(buf, off["seeds"], Sp * 4).reshape(Sp, 4)
+    warm = _sect(buf, off["warm"], Sp * 32).reshape(Sp, 32)
+    warmlen = _sect(buf, off["warmlen"], Sp)
+    bssub = _sect(buf, off["bssub"], Sp)
+    chcode = _sect(buf, off["chcode"], Fp)
+    pidx = _sect(buf, off["pidx"], n_patch_p)
+    pval = _sect(buf, off["pval"], n_patch_p)
+
+    # ---- residual rows from the bitstream windows ----
+    if use_pallas:
+        out = rice16_unpack_inline(win, meta, lanes=2048)
+    else:
+        out = _unpack16_math(win, meta)
+    rows = out[:, :Sp * GPB].T.reshape(Sp, GPB * G2)
+    rows = rows[:, :Bp] if GPB * G2 >= Bp else jnp.pad(
+        rows, ((0, 0), (0, Bp - GPB * G2)))
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (Sp, Bp), 1)
+    warm_p = jnp.pad(warm, ((0, 0), (0, Bp - 32)))
+    rows = jnp.where(col < warmlen[:, None], warm_p, rows)
+    rows = rows.reshape(-1).at[pidx].set(pval, mode="drop")
+    rows = rows.reshape(Sp, Bp)
+    rows = jnp.where(col < bssub[:, None], rows, 0)
+
+    # ---- per-class reconstruction ----
+    from .reconstruct import _fixed_integrate, _lpc_scan
+    signal = jnp.zeros((Sp, Bp), jnp.int32)
+
+    def gather_ci(name):
+        return _sect(buf, off["ci_" + name], classes[name])
+
+    if "const" in classes:
+        idx = gather_ci("const")
+        vals = jnp.broadcast_to(rows[idx, 0:1], (idx.shape[0], Bp))
+        signal = signal.at[idx].set(vals, mode="drop")
+    if "verbatim" in classes:
+        idx = gather_ci("verbatim")
+        signal = signal.at[idx].set(rows[idx], mode="drop")
+    if "fixed" in classes:
+        idx = gather_ci("fixed")
+        out_f = _fixed_integrate(rows[idx], order[idx], seeds[idx])
+        signal = signal.at[idx].set(out_f, mode="drop")
+    for name, hist in (("lpc8", 8), ("lpc16", 16), ("lpc32", 32)):
+        if name not in classes:
+            continue
+        idx = gather_ci(name)
+        if use_pallas:
+            from ..ops.lpc2 import lpc2_lanes, lpc2_reconstruct_inline
+            out_l = lpc2_reconstruct_inline(
+                rows[idx].T, cfwd[idx][:, :hist].T,
+                shift[idx][None, :], order[idx][None, :],
+                lanes=lpc2_lanes(idx.shape[0], Bp), hist=hist,
+                unroll=8).T
+        else:
+            # XLA scan fallback (CPU tests / non-TPU backends); wants
+            # reversed coefficients [n, 32] (slot 31-j = c_{j+1}).
+            out_l = _lpc_scan(rows[idx], cfwd[idx][:, ::-1],
+                              shift[idx], order[idx])
+        signal = signal.at[idx].set(out_l, mode="drop")
+
+    # Wasted-bits shift (zflac.zig:447,459,495-496,538-539).
+    signal = jnp.left_shift(signal, wasted[:, None])
+
+    # Stereo decorrelation (zflac.zig:553-578).
+    frames = signal.reshape(Fp, num_channels, Bp)
+    if do_decorrelate and num_channels == 2:
+        mode = chcode[:, None]
+        c0, c1 = frames[:, 0], frames[:, 1]
+        mid = (c0 << 1) | (c1 & 1)
+        new0 = jnp.where(
+            mode == fmt.CH_SIDE_RIGHT, c0 + c1,
+            jnp.where(mode == fmt.CH_MID_SIDE, (mid + c1) >> 1, c0))
+        new1 = jnp.where(
+            mode == fmt.CH_LEFT_SIDE, c0 - c1,
+            jnp.where(mode == fmt.CH_MID_SIDE, (mid - c1) >> 1, c1))
+        frames = jnp.stack([new0, new1], axis=1)
+
+    pcm = frames.transpose(0, 2, 1)
+    cdtype = {8: jnp.int8, 16: jnp.int16, 32: jnp.int32}[container_bits]
+    return pcm.astype(cdtype)
+
+
+@dataclass
+class DeviceDecoded:
+    """Device-resident decode result: per-chunk PCM arrays in HBM.
+
+    chunks[i] is [Fp, Bp, C] container-dtype; frame f of chunk i holds
+    block_sizes[i][f] valid samples. Values are pre-normalization
+    (the MD5 domain); `normalization_shift` applies on export."""
+    channels: int
+    sample_rate: int
+    bits_per_sample: int
+    total_samples: int
+    chunks: list = field(default_factory=list)
+    num_frames: list = field(default_factory=list)
+    block_sizes: list = field(default_factory=list)
+    md5: bytes = b""
+    stats: dict = field(default_factory=dict)
+
+    def block_until_ready(self):
+        for c in self.chunks:
+            c.block_until_ready()
+        return self
+
+    def to_host(self, verify_md5: bool = True) -> DecodedFLAC:
+        """Assemble interleaved host PCM (the reference's output
+        contract, including MD5 verification and bit-depth
+        normalization — zflac.zig:267-306)."""
+        from .decode import verify_stream_md5
+        C = self.channels
+        dtype = container_dtype(self.bits_per_sample)
+        out = np.empty(self.total_samples * C, dtype=dtype)
+        at = 0
+        for pcm_dev, F, bs in zip(self.chunks, self.num_frames,
+                                  self.block_sizes):
+            pcm = np.asarray(pcm_dev)[:F]
+            if F and np.all(bs == bs[0]):
+                part = pcm[:, :bs[0], :].reshape(-1)[:bs.sum() * C]
+                out[at:at + len(part)] = part
+                at += len(part)
+            else:
+                for f in range(F):
+                    n = bs[f] * C
+                    out[at:at + n] = pcm[f, :bs[f], :].reshape(-1)
+                    at += n
+        out = out[:at]
+        if verify_md5 and self.md5:
+            if not verify_stream_md5(out, self.bits_per_sample, self.md5):
+                raise InvalidChecksum("stream MD5 mismatch")
+        shift = fmt.normalization_shift(self.bits_per_sample)
+        if shift:
+            out = out << shift
+        return DecodedFLAC(
+            channels=C, sample_rate=self.sample_rate,
+            bits_per_sample=self.bits_per_sample, interleaved=out,
+            stats=dict(self.stats))
+
+
+def _bucket_block(b: int) -> int:
+    return max(128, -(-b // 128) * 128)
+
+
+def decode_to_device(data: bytes, check_crc: bool = False,
+                     chunk_frames: int = 0):
+    """Decode a stream to device-resident PCM (pack2 fast path).
+
+    Returns a DeviceDecoded, or None when the fast path declines
+    (exotic/mismatching streams; callers fall back to
+    decode(engine="tpu") whose output they can device_put). Dispatches
+    are asynchronous: the host scan of chunk i+1 overlaps the device
+    compute of chunk i."""
+    from ..bitio import BitReader
+    from ..index.native_indexer import native_available, pack2_range
+    from ..oracle import parse_metadata
+
+    if not native_available():
+        return None
+    br = BitReader(data)
+    info = parse_metadata(br)
+    if fmt.container_bits(info.bits_per_sample) > 16 or \
+            info.bits_per_sample > 16:
+        return None  # int32 kernel envelope (<=16-bit streams)
+    pos = br.pos // 8
+    Bp = _bucket_block(max(info.max_block_size, 16))
+    if chunk_frames <= 0:
+        # Whole-stream single dispatch up to ~64 MiB of padded rows;
+        # longer streams pipeline in fixed-size chunks.
+        nominal = max(info.min_block_size, 1024)
+        total_frames = -(-max(info.total_samples, 1) // nominal)
+        chunk_frames = 1
+        while chunk_frames < total_frames and \
+                chunk_frames * info.channel_count * Bp < (1 << 24):
+            chunk_frames *= 2
+
+    use_pallas = _on_tpu()
+    dd = None
+    force_w = 0
+    chunks_meta = []
+    while pos < len(data):
+        ck = pack2_range(data, pos, len(data), info,
+                         check_crc=check_crc, max_frames=chunk_frames,
+                         force_fp=chunk_frames, force_bp=Bp,
+                         force_w=force_w)
+        if ck is None:
+            return None
+        if ck.F == 0:
+            break
+        force_w = ck.W
+        if dd is None:
+            dd = DeviceDecoded(
+                channels=ck.C, sample_rate=ck.sample_rate,
+                bits_per_sample=ck.bits_per_sample,
+                total_samples=0, md5=info.md5,
+                stats={"engine": "pack2", "frames": 0})
+        elif ck.sample_rate != dd.sample_rate or ck.C != dd.channels:
+            raise InconsistentParameters(
+                "stream parameters changed mid-stream")
+        buf_dev = jax.device_put(ck.device_buf)
+        pcm = reconstruct_pack2(
+            buf_dev, spec=ck.spec_key(), num_channels=ck.C,
+            container_bits=fmt.container_bits(ck.bits_per_sample),
+            do_decorrelate=ck.do_decorrelate, use_pallas=use_pallas)
+        dd.chunks.append(pcm)
+        dd.num_frames.append(ck.F)
+        dd.block_sizes.append(ck.f_block_size)
+        dd.total_samples += int(ck.f_block_size.sum())
+        dd.stats["frames"] += ck.F
+        chunks_meta.append(ck)
+        if ck.landed <= pos:
+            break
+        pos = ck.landed
+    if dd is None:
+        return None
+    dd.stats["chunks"] = len(dd.chunks)
+    # The reference trims to STREAMINFO total samples when present
+    # (zflac.zig:583-588).
+    if info.total_samples and dd.total_samples > info.total_samples:
+        # Trim the tail chunk's last block size.
+        excess = dd.total_samples - info.total_samples
+        bs = dd.block_sizes[-1].copy()
+        bs[-1] -= min(bs[-1], excess)
+        dd.block_sizes[-1] = bs
+        dd.total_samples -= excess
+    return dd
