@@ -1873,9 +1873,14 @@ static int decode_cpu_t(const uint8_t* data, size_t len, BitReader br,
   return OK;
 }
 
+#include "interleave.inc"
+
 // Parallel full decode: sync-scan anchors (find_anchor) + per-segment
 // fused parse+reconstruct + merge, with sequential fallback on any
 // fix-up mismatch. The host production engine for host-destined PCM.
+// Each worker thread decodes up to THREE segments interleaved at
+// Rice-run granularity (interleave.inc) to overlap the bit-serial
+// dependency chains.
 template <typename V, typename C>
 static bool decode_parallel_t(const uint8_t* data, size_t len,
                               size_t first_frame_byte, Plan* out,
@@ -1888,14 +1893,14 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
   uint32_t si_bps = out->si_bits_per_sample;
   unsigned nbytes = (si_bps + 7) / 8;
 
-  // More chunks than threads: workers pull chunks off an atomic
+  // More chunks than threads: workers pull chunk triples off an atomic
   // counter, and whichever worker finishes a chunk advances the
   // in-order MD5 frontier — the hash hides behind the decode instead
   // of running as a serial pass afterwards.
-  size_t M = span >> 20;
-  if (M < T) M = T;
-  if (M > 8 * (size_t)T) M = 8 * (size_t)T;
-  if (M > 64) M = 64;
+  size_t M = span >> 19;
+  if (M < 3 * (size_t)T) M = 3 * (size_t)T;
+  if (M > 24 * (size_t)T) M = 24 * (size_t)T;
+  if (M > 96) M = 96;
 
   std::vector<int64_t> anchors(M, -1);
   anchors[0] = (int64_t)first_frame_byte;
@@ -1960,30 +1965,33 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
     for (unsigned t = 0; t < W; t++) {
       th.emplace_back([&] {
         for (;;) {
-          size_t s = next.fetch_add(1);
-          if (s >= segs.size()) break;
-          Seg& r = segs[s];
-          int64_t lo = starts[s];
-          int64_t hi =
-              s + 1 < starts.size() ? starts[s + 1] : (int64_t)len;
-          r.pcm.reserve((size_t)(hi - lo) * 2);
-          std::vector<V> work, res, side_buf;
-          BitReader br{data, len, (uint64_t)lo * 8};
-          try {
-            for (;;) {
-              if ((int64_t)br.byte_pos() >= hi) break;
-              if (br.pos + 32 > br.nbits()) break;
-              r.frames.push_back(decode_one_frame<V, C, true>(
-                  br, data, check_crc, out->si_sample_rate, si_bps,
-                  nullptr, work, res, side_buf, r.pcm));
-            }
-            r.landed = (int64_t)br.byte_pos();
-          } catch (const Thrown& e) {
-            r.err = e.code;
-            r.landed = -1;
+          size_t grab[3];
+          int ng = 0;
+          for (int i = 0; i < 3; i++) {
+            size_t s = next.fetch_add(1);
+            if (s < segs.size()) grab[ng++] = s;
           }
-          r.done.store(1, std::memory_order_release);
+          if (ng == 0) break;
+          DecodeCursor<V, C> cs[3];
+          for (int i = 0; i < ng; i++) {
+            size_t s = grab[i];
+            Seg& r = segs[s];
+            int64_t lo = starts[s];
+            int64_t hi =
+                s + 1 < starts.size() ? starts[s + 1] : (int64_t)len;
+            r.pcm.reserve((size_t)(hi - lo) * 2);
+            cs[i].init(data, len, lo, hi, out->si_sample_rate, si_bps,
+                       check_crc, &r.pcm, &r.frames);
+          }
+          run_cursors<V, C>(cs, ng);
+          for (int i = 0; i < ng; i++) {
+            Seg& r = segs[grab[i]];
+            r.err = cs[i].err;
+            r.landed = cs[i].landed;
+            r.done.store(1, std::memory_order_release);
+          }
           drain_hash();
+          if (ng < 3) break;
         }
       });
     }

@@ -17,7 +17,8 @@ from ..plan import StreamPlan
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _SRC = os.path.join(_NATIVE_DIR, "indexer.cpp")
-_SRC_INCS = (os.path.join(_NATIVE_DIR, "pack2_helpers.inc"),)
+_SRC_INCS = (os.path.join(_NATIVE_DIR, "pack2_helpers.inc"),
+             os.path.join(_NATIVE_DIR, "interleave.inc"))
 _SO = os.path.join(_NATIVE_DIR, "libzflac_index.so")
 
 _lock = threading.Lock()
