@@ -210,3 +210,181 @@ def reconstruct_sharded(plan: StreamPlan, mesh: Mesh):
         pcm, total = run()
     pcm = np.asarray(pcm)[:meta["F"]]
     return pcm, int(total)
+
+
+# ---------------------------------------------------------------------------
+# pack2 sharded decode: one packed chunk per device
+# ---------------------------------------------------------------------------
+
+PACK2_SECTS = ("win", "meta", "kind", "order", "wasted", "shift", "cfwd",
+               "seeds", "warm", "warmlen", "bssub", "chcode", "pidx",
+               "pval")
+
+
+def repack_common(cks, num_devices: int):
+    """Unify a list of Pack2Chunks (same forced Fp/Bp/W geometry) into
+    one [D, L] int32 array with a single static spec: class gather
+    lists and patch lists are re-padded to the maximum across chunks,
+    missing classes fill with OOB sentinels, and missing devices get an
+    empty (all-invalid) chunk. Host-side numpy copies only."""
+    ck0 = cks[0]
+    Fp, Sp, Bp, GPB, W, NGp = (ck0.Fp, ck0.Sp, ck0.Bp, ck0.GPB, ck0.W,
+                               ck0.NGp)
+    from ..index.native_indexer import PACK2_CLASSES
+    from ..ops.rice16 import K2_INVALID
+
+    def pow2(n, lo=128):
+        p = lo
+        while p < n:
+            p *= 2
+        return p
+
+    n_patch_p = pow2(max(ck.n_patch_p for ck in cks))
+    class_np = {}
+    for name in PACK2_CLASSES:
+        sizes = [dict((n, npd) for n, _, npd in ck.classes).get(name, 0)
+                 for ck in cks]
+        if max(sizes):
+            class_np[name] = pow2(max(sizes))
+
+    sizes = {"win": W * NGp, "meta": NGp, "kind": Sp, "order": Sp,
+             "wasted": Sp, "shift": Sp, "cfwd": Sp * 32, "seeds": Sp * 4,
+             "warm": Sp * 32, "warmlen": Sp, "bssub": Sp, "chcode": Fp,
+             "pidx": n_patch_p, "pval": n_patch_p}
+    off = {}
+    at = 0
+    for name in PACK2_SECTS:
+        off[name] = at
+        at += sizes[name]
+    for name in sorted(class_np):
+        off["ci_" + name] = at
+        at += class_np[name]
+    L = at
+
+    bufs = np.zeros((num_devices, L), np.int32)
+    # Empty-device fill: invalid groups, OOB patches and class lists.
+    bufs[:, off["meta"]:off["meta"] + NGp] = K2_INVALID << 5
+    bufs[:, off["pidx"]:off["pidx"] + n_patch_p] = Sp * Bp
+    for name, width in class_np.items():
+        o = off["ci_" + name]
+        bufs[:, o:o + width] = Sp
+
+    for d, ck in enumerate(cks):
+        for name in PACK2_SECTS:
+            if name in ("pidx", "pval"):
+                src = ck.buf[ck.off[name]:ck.off[name] + ck.n_patch_p]
+            else:
+                src = ck.buf[ck.off[name]:ck.off[name] + sizes[name]]
+            bufs[d, off[name]:off[name] + len(src)] = src
+        for name, cn, cnp in ck.classes:
+            src = ck.buf[ck.off["ci_" + name]:ck.off["ci_" + name] + cnp]
+            bufs[d, off["ci_" + name]:off["ci_" + name] + cnp] = src
+
+    spec = (Fp, Sp, Bp, GPB, W, NGp, n_patch_p, ck0.C,
+            tuple(sorted(class_np.items())),
+            tuple(sorted(off.items())))
+    return bufs, spec
+
+
+def decode_to_device_sharded(data: bytes, mesh: Mesh,
+                             check_crc: bool = False):
+    """Frame-parallel device-resident decode over a ('dp',) mesh using
+    the pack2 path: the stream is scanned into one packed chunk per
+    device, the [D, L] buffer array is sharded on its leading axis, and
+    each device runs the full unpack + reconstruction on its shard
+    under shard_map (no cross-device data dependencies: frames are
+    independent; a psum reduces the per-device sample counts as the
+    completeness check).
+
+    Returns (pcm [D, Fp, Bp, C] with 'dp'-sharded leading axis,
+    DeviceDecoded-style metadata dict). None when the fast path
+    declines."""
+    import functools
+
+    from ..bitio import BitReader
+    from ..index.native_indexer import native_available, pack2_range
+    from ..oracle import parse_metadata
+    from ..runtime.device import _bucket_block, _reconstruct_pack2_core
+
+    if not native_available():
+        return None
+    br = BitReader(data)
+    info = parse_metadata(br)
+    if info.bits_per_sample > 16:
+        return None
+    pos = br.pos // 8
+    D = mesh.devices.size
+    Bp = _bucket_block(max(info.max_block_size, 16))
+    nominal = max(info.min_block_size, 16)
+    est_frames = -(-max(info.total_samples, 1) // nominal)
+    chunk_frames = _pad_pow2(max(1, -(-est_frames // D)))
+
+    cks = []
+    force_w = 0
+    while pos < len(data) and len(cks) < D:
+        ck = pack2_range(data, pos, len(data), info, check_crc=check_crc,
+                         max_frames=chunk_frames, force_fp=chunk_frames,
+                         force_bp=Bp, force_w=force_w)
+        if ck is None:
+            return None
+        if ck.F == 0:
+            break
+        force_w = ck.W
+        cks.append(ck)
+        if ck.landed <= pos:
+            break
+        pos = ck.landed
+    if not cks or pos < len(data):
+        return None  # estimate missed; caller falls back
+    bufs, spec = repack_common(cks, D)
+
+    use_pallas = all(d.platform == "tpu" for d in mesh.devices.flat)
+    container_bits = fmt.container_bits(info.bits_per_sample)
+    do_decor = any(ck.do_decorrelate for ck in cks)
+
+    def body(b):  # [1, L] local shard
+        pcm = _reconstruct_pack2_core(
+            b[0], spec=spec, num_channels=cks[0].C,
+            container_bits=container_bits, do_decorrelate=do_decor,
+            use_pallas=use_pallas)
+        # Completeness collective: every device contributes its valid
+        # sample count (bssub zero-padded).
+        off = dict(spec[9])
+        Sp = spec[1]
+        local = jnp.sum(
+            jax.lax.dynamic_slice_in_dim(b[0], off["bssub"], Sp))
+        total = jax.lax.psum(local, "dp")
+        return pcm[None], total[None]
+
+    fn = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=P("dp"), out_specs=(P("dp"), P("dp"))))
+    sh = NamedSharding(mesh, P("dp"))
+    pcm, totals = fn(jax.device_put(bufs, sh))
+
+    meta = {
+        "channels": cks[0].C,
+        "sample_rate": cks[0].sample_rate,
+        "bits_per_sample": cks[0].bits_per_sample,
+        "num_frames": [ck.F for ck in cks],
+        "block_sizes": [ck.f_block_size for ck in cks],
+        "md5": info.md5,
+        "psum_samples": totals,
+    }
+    return pcm, meta
+
+
+def sharded_to_host(pcm, meta):
+    """Assemble a sharded pack2 result into interleaved host PCM
+    (pre-normalization domain), honoring per-frame block sizes."""
+    C = meta["channels"]
+    pcm = np.asarray(pcm)
+    parts = []
+    for d, (F, bs) in enumerate(zip(meta["num_frames"],
+                                    meta["block_sizes"])):
+        p = pcm[d][:F]
+        if F and np.all(bs == bs[0]):
+            parts.append(p[:, :bs[0], :].reshape(-1)[:bs.sum() * C])
+        else:
+            for f in range(F):
+                parts.append(p[f, :bs[f], :].reshape(-1))
+    return np.concatenate(parts) if parts else pcm.reshape(0)

@@ -56,14 +56,12 @@ def _sect(buf, off: int, n: int):
     return jax.lax.dynamic_slice_in_dim(buf, off, n)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("spec", "num_channels", "container_bits",
-                     "do_decorrelate", "use_pallas"))
-def reconstruct_pack2(buf, *, spec, num_channels: int,
-                      container_bits: int, do_decorrelate: bool,
-                      use_pallas: bool):
+def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
+                            container_bits: int, do_decorrelate: bool,
+                            use_pallas: bool):
     """One packed pack2 chunk -> container-width PCM [Fp, Bp, C].
+    Not jitted: traced under reconstruct_pack2's jit or inside a
+    shard_map body (parallel/shard.py).
 
     `spec` is Pack2Chunk.spec_key(): (Fp, Sp, Bp, GPB, W, NGp,
     n_patch_p, C, classes, offsets) — static, so each stream geometry
@@ -160,6 +158,19 @@ def reconstruct_pack2(buf, *, spec, num_channels: int,
     pcm = frames.transpose(0, 2, 1)
     cdtype = {8: jnp.int8, 16: jnp.int16, 32: jnp.int32}[container_bits]
     return pcm.astype(cdtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "num_channels", "container_bits",
+                     "do_decorrelate", "use_pallas"))
+def reconstruct_pack2(buf, *, spec, num_channels: int,
+                      container_bits: int, do_decorrelate: bool,
+                      use_pallas: bool):
+    return _reconstruct_pack2_core(
+        buf, spec=spec, num_channels=num_channels,
+        container_bits=container_bits, do_decorrelate=do_decorrelate,
+        use_pallas=use_pallas)
 
 
 @dataclass
