@@ -1873,6 +1873,7 @@ static int decode_cpu_t(const uint8_t* data, size_t len, BitReader br,
   return OK;
 }
 
+#include "simd512.inc"
 #include "interleave.inc"
 
 // Parallel full decode: sync-scan anchors (find_anchor) + per-segment
