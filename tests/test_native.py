@@ -85,3 +85,41 @@ def test_native_inline_md5(name, corpus):
         raw = arr.astype(f"<i{nbytes}", copy=False).tobytes()
     assert meta["computed_md5"] == hashlib.md5(raw).digest()
     assert verify_stream_md5(arr, bps, meta["computed_md5"])
+
+
+def _mixed_big_stream(bps=16, seed=3):
+    """~1.5 MB stream that drives the threaded cursor engine (it only
+    engages above 1 MB): mixed subframe kinds/orders across frames,
+    stereo decorrelation variety, a constant stretch, and wasted bits."""
+    import numpy as np
+
+    from zflac_tpu.encoder import EncoderConfig, encode
+    from zflac_tpu.testing import correlated_stereo
+
+    n = 600_000
+    pcm = correlated_stereo(n, bps, seed=seed)
+    # Constant stretch (constant subframes) and a wasted-bits stretch.
+    pcm[5000:15000] = 57
+    pcm[30000:40000] &= ~np.int64(0xF)
+    return encode(pcm, 44100, bps, EncoderConfig(block_size=4096)), pcm
+
+
+@pytest.mark.parametrize("bps", [8, 16])
+def test_native_parallel_decode_large_mixed(bps):
+    """Threaded cursor engine (anchors + deferred batched
+    reconstruction + inline MD5) vs the sequential scalar decoder on a
+    stream large enough to engage it — bit-exact, same MD5."""
+    import hashlib
+
+    from zflac_tpu.index.native_indexer import (
+        decode_cpu_native,
+        decode_native_parallel,
+    )
+
+    data, _ = _mixed_big_stream(bps=bps)
+    arr, meta = decode_native_parallel(data)
+    base, bmeta = decode_cpu_native(data)
+    np.testing.assert_array_equal(arr, base)
+    assert meta["computed_md5"] == hashlib.md5(
+        base.astype(f"<i{(bps + 7) // 8}", copy=False).tobytes()).digest()
+    assert meta["computed_md5"] == bmeta["md5"]
