@@ -123,3 +123,48 @@ def test_native_parallel_decode_large_mixed(bps):
     assert meta["computed_md5"] == hashlib.md5(
         base.astype(f"<i{(bps + 7) // 8}", copy=False).tobytes()).digest()
     assert meta["computed_md5"] == bmeta["md5"]
+
+
+_BIG_CONFIGS = [
+    # Each tuple drives a distinct fast-path shape of the threaded
+    # cursor engine: odd block sizes hit the SIMD tail loops and the
+    # group kernel's scalar tail; escapes/Rice2 bypass the
+    # triple-consume loops; order 16 exceeds the group-kernel ceiling
+    # (scalar passthrough lane); verbatim is a pure passthrough lane.
+    ("odd-bs", dict(block_size=725)),
+    ("escape", dict(block_size=4096, force_escape=True)),
+    ("rice2", dict(block_size=4096, coding_method=1)),
+    ("lpc16", dict(block_size=4096, max_lpc_order=16)),
+    ("verbatim", dict(block_size=1024, subframe_mode="verbatim")),
+    ("fixed", dict(block_size=2048, subframe_mode=("fixed", 2))),
+    ("po-deep", dict(block_size=4096, partition_order=8)),
+    ("stereo-cycle", dict(block_size=4096,
+                          stereo_mode=["independent", "left_side",
+                                       "side_right", "mid_side"])),
+]
+
+
+@pytest.mark.parametrize("name,opts",
+                         _BIG_CONFIGS, ids=[c[0] for c in _BIG_CONFIGS])
+def test_native_parallel_decode_large_configs(name, opts):
+    """Every engine fast-path shape on streams large enough to engage
+    the threaded cursor path, bit-exact vs the sequential decoder."""
+    from zflac_tpu.encoder import EncoderConfig, encode
+    from zflac_tpu.index.native_indexer import (
+        decode_cpu_native,
+        decode_native_parallel,
+    )
+    from zflac_tpu.testing import correlated_stereo
+
+    n = 500_000 if name != "verbatim" else 300_000
+    if "partition_order" in opts:
+        # A forced partition order must divide every block (encoder
+        # contract), so the stream length must be a block multiple.
+        n = 128 * opts["block_size"]
+    pcm = correlated_stereo(n, 16, seed=len(name))
+    data = encode(pcm, 44100, 16, EncoderConfig(**opts))
+    assert len(data) > (1 << 20), "stream too small to engage engine"
+    arr, meta = decode_native_parallel(data)
+    base, bmeta = decode_cpu_native(data)
+    np.testing.assert_array_equal(arr, base)
+    assert meta["computed_md5"] == bmeta["md5"]
