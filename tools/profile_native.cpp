@@ -180,6 +180,35 @@ int main(int argc, char** argv) {
   std::printf("rice walk only (1t)     : %8.2f ms  (%7.1f Mcodes/s)\n",
               t_res, msps(t_res));
 
+
+  // 6. Anchor phase cost (96 windows, single thread here).
+  double t_anchor = best_of(reps, [&] {
+    size_t first = 0;
+    {
+      BitReader br{data.data(), data.size(), 0};
+      Plan p{};
+      parse_stream_meta(br, &p);
+      first = br.byte_pos();
+    }
+    size_t span = data.size() - first;
+    const size_t M = 96;
+    for (size_t m = 1; m < M; m++) {
+      size_t lo = first + span * m / M;
+      size_t hi = first + span * (m + 1) / M;
+      find_anchor<int32_t>(data.data(), data.size(), lo, hi,
+                           meta.si_sample_rate, meta.si_bits_per_sample);
+    }
+  });
+  std::printf("anchor scan x96 (1t)    : %8.2f ms\n", t_anchor);
+
+  // 7. Merge memcpy cost (one pass over the PCM).
+  {
+    std::vector<int16_t> src(total), dst(total);
+    double t_copy = best_of(reps, [&] {
+      std::memcpy(dst.data(), src.data(), total * sizeof(int16_t));
+    });
+    std::printf("merge memcpy            : %8.2f ms\n", t_copy);
+  }
   // 5. MD5 only over the PCM bytes.
   Plan p2{};
   void* samples = nullptr;

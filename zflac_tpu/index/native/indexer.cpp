@@ -1235,6 +1235,53 @@ static int64_t find_anchor(const uint8_t* data, size_t len, size_t from,
   return -1;
 }
 
+// Light anchor: header structural checks + header CRC-8 only (~30
+// bytes instead of the whole frame's Rice walk). Used for the internal
+// segment boundaries of the parallel decoder, where a false positive
+// is caught deterministically by the landing chain-verify (each
+// segment must end exactly on the next anchor) and merely costs the
+// sequential fallback. The exported resync API (zfi_find_anchor) keeps
+// the definitive full-parse validation — error recovery scans inside
+// corrupt regions where strength matters.
+static int64_t find_anchor_light(const uint8_t* data, size_t len,
+                                 size_t from, size_t limit,
+                                 uint32_t si_sample_rate) {
+  for (size_t i = from; i + 4 < limit; i++) {
+    if (data[i] != 0xFF || (data[i + 1] & 0xFE) != 0xF8) continue;
+    BitReader br{data, len, (uint64_t)i * 8};
+    try {
+      uint64_t hdr = br.read_u32();
+      unsigned bs_code = (hdr >> 12) & 0xF;
+      unsigned sr_code = (hdr >> 8) & 0xF;
+      unsigned ch_code = (hdr >> 4) & 0xF;
+      unsigned bd_code = (hdr >> 1) & 0x7;
+      if ((hdr & 1) != 0) continue;  // reserved bit
+      if (bs_code == 0 || channel_count(ch_code) == 0 ||
+          kBitDepth[bd_code] < 0)
+        continue;
+      read_coded_number(br);
+      if (bs_code == 6) br.read_u8();
+      else if (bs_code == 7) {
+        if (br.read_u16() == 0xFFFF) continue;
+      } else if (block_size_value(bs_code) < 0) {
+        continue;
+      }
+      int sr_entry = kSampleRateHz[sr_code];
+      if (sr_entry == -1) br.read_u8();
+      else if (sr_entry == -2 || sr_entry == -3) br.read_u16();
+      else if (sr_entry == -4) continue;
+      uint32_t header_crc = br.read_u8();
+      if (crc8_range(data + i, br.byte_pos() - 1 - i) != header_crc)
+        continue;
+      (void)si_sample_rate;
+      return (int64_t)i;
+    } catch (const Thrown&) {
+      continue;
+    }
+  }
+  return -1;
+}
+
 template <typename V>
 struct SegResult {
   Range<V> range;
@@ -1915,8 +1962,8 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
           if (m >= M) break;
           size_t lo = first_frame_byte + span * m / M;
           size_t hi = first_frame_byte + span * (m + 1) / M;
-          anchors[m] = find_anchor<V>(data, len, lo, hi,
-                                      out->si_sample_rate, si_bps);
+          anchors[m] = find_anchor_light(data, len, lo, hi,
+                                         out->si_sample_rate);
         }
       });
     }
@@ -1939,23 +1986,51 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
   size_t hash_frontier = 0;
   bool hash_ok = true;  // guarded by hash_mu
   std::mutex hash_mu;
+  // Pre-allocated output (STREAMINFO total known): the drain copies
+  // finished chunks into place while later chunks still decode, so the
+  // end-of-decode merge memcpy disappears in the common case. Any
+  // error/size surprise falls back to the end merge.
+  uint64_t precap = out->si_total_samples * (uint64_t)out->si_channels;
+  C* pre = nullptr;
+  if (out->si_total_samples > 0)
+    pre = (C*)std::malloc(precap * sizeof(C) + 1);
+  bool copy_ok = pre != nullptr;  // guarded by hash_mu
+  uint64_t copy_off = 0;          // guarded by hash_mu
+  struct FreeGuard {
+    void** p;
+    ~FreeGuard() { std::free(*p); }
+  } pre_guard{(void**)&pre};
+  auto drain_one = [&](Seg& h) {
+    // One contiguous completed chunk, in stream order: hash it and
+    // copy it into the pre-allocated output. An errored chunk's pcm
+    // may hold a partially-written frame, so any error invalidates
+    // both the pipelined digest and the pipelined copy (the caller
+    // redoes them from the merged output in that rare case).
+    if (h.err == OK && hash_ok) {
+      if (compute_md5)
+        md5_update_samples<C>(md5, h.pcm.data(), h.pcm.size(), nbytes);
+    } else {
+      hash_ok = false;
+    }
+    if (copy_ok && h.err == OK &&
+        copy_off + h.pcm.size() <= precap) {
+      std::memcpy(pre + copy_off, h.pcm.data(),
+                  h.pcm.size() * sizeof(C));
+      copy_off += h.pcm.size();
+    } else {
+      copy_ok = false;
+    }
+  };
   auto drain_hash = [&] {
-    // Hash contiguous completed chunks in stream order. try_lock: if
-    // another worker is already draining, it will pick up this chunk;
-    // the post-join drain catches the no-one-holds-the-lock race. An
-    // errored chunk's pcm may hold a partially-written frame, so any
-    // error invalidates the pipelined digest (the caller re-hashes the
-    // merged output serially in that rare case).
-    if (!compute_md5) return;
+    // try_lock: if another worker is already draining, it will pick up
+    // this chunk; the post-join drain catches the race where no one
+    // holds the lock.
+    if (!compute_md5 && !pre) return;
     std::unique_lock<std::mutex> lk(hash_mu, std::try_to_lock);
     if (!lk.owns_lock()) return;
     while (hash_frontier < segs.size() &&
            segs[hash_frontier].done.load(std::memory_order_acquire)) {
-      Seg& h = segs[hash_frontier];
-      if (h.err == OK && hash_ok)
-        md5_update_samples<C>(md5, h.pcm.data(), h.pcm.size(), nbytes);
-      else
-        hash_ok = false;
+      drain_one(segs[hash_frontier]);
       hash_frontier++;
     }
   };
@@ -1998,15 +2073,11 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
     }
     for (auto& x : th) x.join();
   }
-  if (compute_md5) {
+  if (compute_md5 || pre) {
     std::lock_guard<std::mutex> lk(hash_mu);
     while (hash_frontier < segs.size() &&
            segs[hash_frontier].done.load(std::memory_order_acquire)) {
-      Seg& h = segs[hash_frontier];
-      if (h.err == OK && hash_ok)
-        md5_update_samples<C>(md5, h.pcm.data(), h.pcm.size(), nbytes);
-      else
-        hash_ok = false;
+      drain_one(segs[hash_frontier]);
       hash_frontier++;
     }
   }
@@ -2069,22 +2140,31 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
       ctx.offset < ctx.total_count)
     fail(E_END_OF_STREAM);
 
-  // Merge PCM (trim at the sequential stop point).
+  // Merge PCM (trim at the sequential stop point). Common case: the
+  // drain already copied every chunk into `pre` in stream order — hand
+  // it off directly.
   uint64_t pcm_start = 0;
   for (size_t i = 0; i < cut; i++) pcm_start += frames[i].block_size;
   uint64_t n_out = pcm_start * ctx.locked_count;
-  C* result = (C*)std::malloc(n_out * sizeof(C) + 1);
-  if (!result) fail(E_UNIMPLEMENTED);
-  uint64_t written = 0, fidx = 0;
-  for (auto& s : segs) {
-    if (fidx >= cut) break;
-    size_t take_frames = std::min(s.frames.size(), cut - fidx);
-    uint64_t take = 0;
-    for (size_t i = 0; i < take_frames; i++)
-      take += (uint64_t)s.frames[i].block_size * ctx.locked_count;
-    std::memcpy(result + written, s.pcm.data(), take * sizeof(C));
-    written += take;
-    fidx += take_frames;
+  C* result;
+  if (copy_ok && cut == frames.size() && trailing_err == OK &&
+      copy_off == n_out) {
+    result = pre;
+    pre = nullptr;
+  } else {
+    result = (C*)std::malloc(n_out * sizeof(C) + 1);
+    if (!result) fail(E_UNIMPLEMENTED);
+    uint64_t written = 0, fidx = 0;
+    for (auto& s : segs) {
+      if (fidx >= cut) break;
+      size_t take_frames = std::min(s.frames.size(), cut - fidx);
+      uint64_t take = 0;
+      for (size_t i = 0; i < take_frames; i++)
+        take += (uint64_t)s.frames[i].block_size * ctx.locked_count;
+      std::memcpy(result + written, s.pcm.data(), take * sizeof(C));
+      written += take;
+      fidx += take_frames;
+    }
   }
 
   if (compute_md5) {
