@@ -65,3 +65,33 @@ def test_8bit_minimum_depth(decode):
     r = decode(data)
     assert r.interleaved.dtype == np.int8
     np.testing.assert_array_equal(r.interleaved, expected_output(pcm, 8))
+
+
+def test_declared_total_cuts_at_frame_boundary():
+    """STREAMINFO claims FEWER samples, landing exactly on a frame
+    boundary several frames early: decoding stops there (whole trailing
+    frames dropped, zflac.zig:343-350), on every engine including the
+    device path (which must drop more than one trailing block). The
+    stream MD5 covers the full input, so default decode raises
+    InvalidChecksum like the reference would."""
+    import zflac_tpu.errors as err
+    from zflac_tpu.runtime.device import decode_to_device
+
+    pcm = tone_mix(3072, 2, 16, seed=9)   # 6 frames of 512
+    declared = 1024                        # cut 4 whole frames
+    data = encode(pcm, 44100, 16,
+                  EncoderConfig(block_size=512,
+                                total_samples_fudge=declared - 3072))
+    with pytest.raises(err.InvalidChecksum):
+        zflac_tpu.decode(data)
+    for eng in ("oracle", "native", "tpu"):
+        r = zflac_tpu.decode(data, engine=eng, verify_md5=False)
+        assert r.num_samples == declared
+        np.testing.assert_array_equal(
+            r.interleaved, expected_output(pcm[:declared], 16))
+    dd = decode_to_device(data)
+    if dd is not None:
+        host = dd.to_host(verify_md5=False)
+        assert host.num_samples == declared
+        np.testing.assert_array_equal(
+            host.interleaved, expected_output(pcm[:declared], 16))

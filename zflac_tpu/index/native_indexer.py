@@ -18,7 +18,8 @@ from ..plan import StreamPlan
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _SRC = os.path.join(_NATIVE_DIR, "indexer.cpp")
 _SRC_INCS = (os.path.join(_NATIVE_DIR, "pack2_helpers.inc"),
-             os.path.join(_NATIVE_DIR, "interleave.inc"))
+             os.path.join(_NATIVE_DIR, "interleave.inc"),
+             os.path.join(_NATIVE_DIR, "simd512.inc"))
 _SO = os.path.join(_NATIVE_DIR, "libzflac_index.so")
 
 _lock = threading.Lock()
@@ -133,14 +134,13 @@ PACK2_CLASSES = ("const", "verbatim", "fixed", "lpc8", "lpc16", "lpc32")
 
 
 class Pack2Chunk:
-    """One packed device chunk: a zero-copy int32 view over the native
-    buffer plus the static geometry the jitted reconstruction needs.
-    The native allocation is freed when this object is collected."""
+    """One packed device chunk: the int32 plan buffer plus the static
+    geometry the jitted reconstruction needs. The native allocation is
+    copied out and freed eagerly in the constructor (the buffer feeds
+    a device_put immediately, so there is no reason to pin the native
+    copy for the chunk's lifetime)."""
 
     def __init__(self, lib, p: _Pack2):
-        import weakref
-        self._p = p
-        self._lib = lib
         self.buf = _as_array(p.buf, (int(p.total_words),), np.int32)
         self.device_words = int(p.device_words)
         self.F, self.C, self.S, self.B = p.F, p.C, p.S, p.B
@@ -178,8 +178,7 @@ class Pack2Chunk:
             p.off_f_coded:p.off_f_coded + 2 * p.F].view(np.int64).copy()
         self.f_byte_offset = self.buf[
             p.off_f_start:p.off_f_start + 2 * p.F].view(np.int64).copy()
-        self._finalizer = weakref.finalize(
-            self, lib.zfi_pack2_free, ctypes.byref(p))
+        lib.zfi_pack2_free(ctypes.byref(p))
 
     @property
     def device_buf(self) -> np.ndarray:
@@ -200,9 +199,10 @@ def pack2_range(data: bytes, start_byte: int, stop_byte: int,
                 force_bp: int = 0, force_w: int = 0):
     """Measure-only scan of whole frames in [start_byte, stop_byte)
     emitting the packed device buffer (pack2 fast path). Returns a
-    Pack2Chunk, or None when the fast path declines (caller falls back
-    to the general engine). Raises the mapped typed error on malformed
-    input before any frame parses."""
+    Pack2Chunk, or None when the fast path declines for ANY reason —
+    unsupported geometry or a mid-scan parse error (the caller falls
+    back to the general engine, which either decodes the stream or
+    raises the typed error with exact reference semantics)."""
     lib = _load()
     if lib is None:
         return None
@@ -214,14 +214,15 @@ def pack2_range(data: bytes, start_byte: int, stop_byte: int,
         ctypes.byref(p))
     if rc in (100, 101):
         return None
-    if rc != 0 and not p.buf:
-        raise ERROR_MAP.get(rc, err.Unimplemented)("pack2 scan failed")
     if rc != 0:
-        # Partial parse: frames before the error are packed; the caller
-        # decides (tolerant modes). For the strict path, treat a
-        # mid-stream error as fatal.
-        lib.zfi_pack2_free(ctypes.byref(p))
-        raise ERROR_MAP.get(rc, err.Unimplemented)("pack2 scan failed")
+        # Any scan error declines the fast path: the general engine may
+        # still decode the stream (e.g. trailing non-frame bytes past
+        # the STREAMINFO total, which the sequential drivers never
+        # reach), and if the stream is truly malformed the fallback
+        # engine raises the typed error with exact reference semantics.
+        if p.buf:
+            lib.zfi_pack2_free(ctypes.byref(p))
+        return None
     return Pack2Chunk(lib, p)
 
 

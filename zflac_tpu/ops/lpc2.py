@@ -102,14 +102,16 @@ def lpc2_reconstruct_inline(rows_t, cfwd_t, shift, order, *,
     )(rows_t, cfwd_t, shift, order)
 
 
-def lpc2_lanes(n: int, B: int) -> int:
+def lpc2_lanes(n: int, B: int) -> int | None:
     """Widest lane count dividing n that keeps rows + out blocks in
-    VMEM. Pallas double-buffers grid blocks, so the footprint is
+    VMEM, or None when no width fits (huge block sizes) — the caller
+    falls back to the XLA scan path instead of overflowing VMEM.
+    Pallas double-buffers grid blocks, so the footprint is
     2 x (in + out) = 4 block copies."""
     for lanes in (512, 256, 128):
         if n % lanes == 0 and 4 * B * lanes * 4 <= 14 * 2**20:
             return lanes
-    return 128
+    return None
 
 
 @functools.partial(jax.jit,

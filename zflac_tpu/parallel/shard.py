@@ -233,19 +233,13 @@ def repack_common(cks, num_devices: int):
     from ..index.native_indexer import PACK2_CLASSES
     from ..ops.rice16 import K2_INVALID
 
-    def pow2(n, lo=128):
-        p = lo
-        while p < n:
-            p *= 2
-        return p
-
-    n_patch_p = pow2(max(ck.n_patch_p for ck in cks))
+    n_patch_p = _pad_pow2(max(ck.n_patch_p for ck in cks), lo=128)
     class_np = {}
     for name in PACK2_CLASSES:
         sizes = [dict((n, npd) for n, _, npd in ck.classes).get(name, 0)
                  for ck in cks]
         if max(sizes):
-            class_np[name] = pow2(max(sizes))
+            class_np[name] = _pad_pow2(max(sizes), lo=128)
 
     sizes = {"win": W * NGp, "meta": NGp, "kind": Sp, "order": Sp,
              "wasted": Sp, "shift": Sp, "cfwd": Sp * 32, "seeds": Sp * 4,
@@ -330,6 +324,14 @@ def decode_to_device_sharded(data: bytes, mesh: Mesh,
         if ck.F == 0:
             break
         force_w = ck.W
+        # Stream-consistency rules across chunk boundaries, matching
+        # the non-sharded path (zflac.zig:376-392 semantics).
+        if cks and (ck.sample_rate != cks[0].sample_rate or
+                    ck.C != cks[0].C or
+                    ck.bits_per_sample != cks[0].bits_per_sample):
+            from ..errors import InconsistentParameters
+            raise InconsistentParameters(
+                "stream parameters changed mid-stream")
         cks.append(ck)
         if ck.landed <= pos:
             break
@@ -361,12 +363,41 @@ def decode_to_device_sharded(data: bytes, mesh: Mesh,
     sh = NamedSharding(mesh, P("dp"))
     pcm, totals = fn(jax.device_put(bufs, sh))
 
+    num_frames = [ck.F for ck in cks]
+    block_sizes = [ck.f_block_size for ck in cks]
+    # Reference stop semantics at the STREAMINFO total (see
+    # runtime/device.py): whole frames starting at/after the total are
+    # dropped; a frame crossing it invalidates the total (keep all).
+    decoded = sum(int(bs.sum()) for bs in block_sizes)
+    if info.total_samples and decoded > info.total_samples:
+        total, offset, valid = info.total_samples, 0, True
+        cut = None
+        for ci, bs_arr in enumerate(block_sizes):
+            for fi, b in enumerate(bs_arr):
+                if valid and offset >= total:
+                    cut = (ci, fi)
+                    break
+                if valid and offset + int(b) > total:
+                    valid = False
+                offset += int(b)
+            if cut is not None:
+                break
+        if cut is not None:
+            ci, fi = cut
+            bs = block_sizes[ci].copy()
+            bs[fi:] = 0
+            block_sizes[ci] = bs
+            num_frames[ci] = fi
+            for cj in range(ci + 1, len(block_sizes)):
+                num_frames[cj] = 0
+                block_sizes[cj] = block_sizes[cj][:0]
+
     meta = {
         "channels": cks[0].C,
         "sample_rate": cks[0].sample_rate,
         "bits_per_sample": cks[0].bits_per_sample,
-        "num_frames": [ck.F for ck in cks],
-        "block_sizes": [ck.f_block_size for ck in cks],
+        "num_frames": num_frames,
+        "block_sizes": block_sizes,
         "md5": info.md5,
         "psum_samples": totals,
     }

@@ -124,12 +124,15 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
         if name not in classes:
             continue
         idx = gather_ci(name)
+        lanes = None
         if use_pallas:
             from ..ops.lpc2 import lpc2_lanes, lpc2_reconstruct_inline
+            lanes = lpc2_lanes(idx.shape[0], Bp)
+        if lanes is not None:
             out_l = lpc2_reconstruct_inline(
                 rows[idx].T, cfwd[idx][:, :hist].T,
                 shift[idx][None, :], order[idx][None, :],
-                lanes=lpc2_lanes(idx.shape[0], Bp), hist=hist,
+                lanes=lanes, hist=hist,
                 unroll=8).T
         else:
             # XLA scan fallback (CPU tests / non-TPU backends); wants
@@ -305,13 +308,34 @@ def decode_to_device(data: bytes, check_crc: bool = False,
     if dd is None:
         return None
     dd.stats["chunks"] = len(dd.chunks)
-    # The reference trims to STREAMINFO total samples when present
-    # (zflac.zig:583-588).
+    # Reference stop semantics (zflac.zig:343-350,394-402): decoding
+    # stops at the first frame whose START reaches the STREAMINFO
+    # total, so whole trailing frames are dropped; a frame that
+    # CROSSES the total invalidates the declared total and everything
+    # decoded is kept (the reference grows its buffer instead).
     if info.total_samples and dd.total_samples > info.total_samples:
-        # Trim the tail chunk's last block size.
-        excess = dd.total_samples - info.total_samples
-        bs = dd.block_sizes[-1].copy()
-        bs[-1] -= min(bs[-1], excess)
-        dd.block_sizes[-1] = bs
-        dd.total_samples -= excess
+        total, offset, valid = info.total_samples, 0, True
+        cut = None  # (chunk_idx, frame_idx) of the first dropped frame
+        for ci, bs_arr in enumerate(dd.block_sizes):
+            for fi, b in enumerate(bs_arr):
+                if valid and offset >= total:
+                    cut = (ci, fi)
+                    break
+                if valid and offset + int(b) > total:
+                    valid = False
+                offset += int(b)
+            if cut is not None:
+                break
+        if cut is not None:
+            ci, fi = cut
+            bs = dd.block_sizes[ci].copy()
+            bs[fi:] = 0
+            dd.block_sizes[ci] = bs
+            dd.num_frames[ci] = fi
+            del dd.chunks[ci + 1:]
+            del dd.num_frames[ci + 1:]
+            del dd.block_sizes[ci + 1:]
+            dd.stats["frames"] = sum(dd.num_frames)
+            dd.stats["chunks"] = len(dd.chunks)
+            dd.total_samples = offset
     return dd
