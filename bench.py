@@ -55,6 +55,19 @@ def best_time(fn, reps=REPS):
     return float(np.min(times))
 
 
+def best_times_interleaved(fns, reps=REPS):
+    """Best-of-N for several functions with INTERLEAVED reps, so a
+    load spike on the shared VM hits all sides of a ratio equally
+    instead of landing entirely on whichever ran during it."""
+    times = [[] for _ in fns]
+    for _ in range(reps):
+        for i, fn in enumerate(fns):
+            t0 = time.perf_counter()
+            fn()
+            times[i].append(time.perf_counter() - t0)
+    return [float(np.min(t)) for t in times]
+
+
 def main():
     data = get_stream()
 
@@ -66,9 +79,6 @@ def main():
 
     r = zflac_tpu.decode(data)  # warmup: compile + validate (MD5 on)
     total = r.num_samples * r.channels
-
-    t_engine = best_time(lambda: zflac_tpu.decode(data))
-    engine_msps = total / t_engine / 1e6
 
     if native_available():
         # Baseline correctness cross-check, then timing. The baseline
@@ -83,10 +93,14 @@ def main():
 
         base, meta = baseline()
         assert meta["frames"] == r.stats["frames"]
-        t_cpu = best_time(baseline)
+        t_engine, t_cpu = best_times_interleaved(
+            [lambda: zflac_tpu.decode(data), baseline])
+        engine_msps = total / t_engine / 1e6
         cpu_msps = total / t_cpu / 1e6
         vs = engine_msps / cpu_msps
     else:
+        t_engine = best_time(lambda: zflac_tpu.decode(data))
+        engine_msps = total / t_engine / 1e6
         vs = 0.0
 
     print(json.dumps({

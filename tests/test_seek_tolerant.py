@@ -97,3 +97,52 @@ class TestTolerant:
         np.testing.assert_array_equal(got[4 * 1024:11 * 1024],
                                       exp[4 * 1024:11 * 1024])
         np.testing.assert_array_equal(got[12 * 1024:], exp[12 * 1024:])
+
+
+def test_corruption_in_large_stream_raises_typed_error():
+    """Corruption inside a stream large enough to engage the threaded
+    cursor engine: whatever segment the damage lands in, decode must
+    end in a typed error (MD5 mismatch at minimum), never silent wrong
+    output — this also exercises the engine's flush-on-error path and
+    the landing chain-verify fallback."""
+    import numpy as np
+    import pytest
+
+    import zflac_tpu
+    import zflac_tpu.errors as err
+    from zflac_tpu.encoder import EncoderConfig, encode
+    from zflac_tpu.testing import correlated_stereo
+
+    pcm = correlated_stereo(600_000, 16, seed=21)
+    data = bytearray(encode(pcm, 44100, 16, EncoderConfig(block_size=4096)))
+    assert len(data) > (1 << 20)
+    for frac in (0.25, 0.5, 0.9):
+        bad = data.copy()
+        bad[int(len(bad) * frac)] ^= 0x10
+        with pytest.raises(err.FlacError):
+            zflac_tpu.decode(bytes(bad))
+    # The pristine stream still decodes bit-exactly afterwards.
+    r = zflac_tpu.decode(bytes(data))
+    np.testing.assert_array_equal(r.samples, pcm.astype(np.int16))
+
+
+def test_tolerant_decode_large_stream_recovers():
+    """decode_tolerant on a large corrupted stream: resync confines the
+    damage and everything outside the damaged region is bit-exact."""
+    import numpy as np
+
+    import zflac_tpu
+    from zflac_tpu.encoder import EncoderConfig, encode
+    from zflac_tpu.testing import correlated_stereo
+
+    n, bs = 600_000, 4096
+    pcm = correlated_stereo(n, 16, seed=22)
+    data = bytearray(encode(pcm, 44100, 16, EncoderConfig(block_size=bs)))
+    data[len(data) // 2] ^= 0xFF
+    r = zflac_tpu.decode_tolerant(bytes(data))
+    assert r.num_samples == n
+    good = r.samples == pcm.astype(np.int16)
+    # Damage stays localized: the overwhelming majority is intact and
+    # the head/tail are untouched.
+    assert good[: n // 4].all() and good[-n // 4:].all()
+    assert good.mean() > 0.95
