@@ -164,6 +164,34 @@ struct BitReader {
     return (int64_t)(zz >> 1) ^ -(int64_t)(zz & 1);
   }
 
+  // read_rice that also reports the unary quotient (the measure-only
+  // scans need q for their window-envelope checks).
+  inline int64_t read_rice_q(unsigned k, uint64_t* q_out) {
+    uint64_t c = cache;
+    unsigned z = c ? (unsigned)__builtin_clzll(c) : 64;
+    unsigned total = z + 1 + k;
+    if (total > cache_bits) {
+      refill();
+      c = cache;
+      z = c ? (unsigned)__builtin_clzll(c) : 64;
+      total = z + 1 + k;
+    }
+    if (total <= cache_bits && pos + total <= nbits()) {
+      uint64_t rem = k ? (c << (z + 1)) >> (64 - k) : 0;
+      cache = total >= 64 ? 0 : c << total;
+      cache_bits -= total;
+      pos += total;
+      *q_out = z;
+      uint64_t zz = ((uint64_t)z << k) | rem;
+      return (int64_t)(zz >> 1) ^ -(int64_t)(zz & 1);
+    }
+    uint64_t q = read_unary();
+    uint64_t rem = read_bits(k);
+    *q_out = q;
+    uint64_t zz = (q << k) + rem;
+    return (int64_t)(zz >> 1) ^ -(int64_t)(zz & 1);
+  }
+
   inline void align_byte() { seek((pos + 7) & ~7ull); }
   inline size_t byte_pos() const { return (size_t)(pos >> 3); }
   inline uint32_t read_u8() { return (uint32_t)read_bits(8); }
@@ -670,12 +698,11 @@ static void skim_residuals(BitReader& br, uint32_t block_size,
       for (uint32_t i = 0; i < count; i++) {
         if (out_pos == order || (out_pos & (kGroupG - 1)) == 0)
           open_group((uint8_t)k, 0, true);
-        uint64_t q = br.read_unary();
-        uint64_t rem = br.read_bits(k);
-        uint64_t zz = (q << k) + rem;
+        uint64_t q;
+        int64_t v = br.read_rice_q(k, &q);
+        uint64_t zz = (uint64_t)((v << 1) ^ (v >> 63));
         if (q > kMaxQuotient || (zz >> 31) != 0) gbad = true;
-        gbuf[out_pos & (kGroupG - 1)] =
-            (int32_t)((int64_t)(zz >> 1) ^ -(int64_t)(zz & 1));
+        gbuf[out_pos & (kGroupG - 1)] = (int32_t)v;
         out_pos++;
       }
     }
