@@ -567,7 +567,12 @@ def _decode_native(data: bytes, check_crc: bool,
             raise InvalidChecksum("stream MD5 mismatch")
     shift = fmt.normalization_shift(si_bps)
     if shift:
-        arr = arr << shift
+        # In place: the array exclusively owns the engine's buffer, and
+        # a copying shift would add a full extra pass + allocation.
+        if arr.flags.writeable:
+            np.left_shift(arr, shift, out=arr)
+        else:
+            arr = arr << shift
     return DecodedFLAC(
         channels=meta["channels"] or meta.get("si_channels", 1),
         sample_rate=meta["sample_rate"],
