@@ -55,17 +55,22 @@ def best_time(fn, reps=REPS):
     return float(np.min(times))
 
 
-def best_times_interleaved(fns, reps=REPS):
-    """Best-of-N for several functions with INTERLEAVED reps, so a
-    load spike on the shared VM hits all sides of a ratio equally
-    instead of landing entirely on whichever ran during it."""
-    times = [[] for _ in fns]
-    for _ in range(reps):
-        for i, fn in enumerate(fns):
+def best_times_aba(fn_a, fn_b, reps=REPS):
+    """Best-of-N for two functions in A-B-A blocks: each side's minimum
+    comes from consecutive (cache-warm) runs — interleaving every rep
+    would make each side evict the other's working set — while the
+    split A block straddles B in time so slow drift in host load hits
+    both sides."""
+    ta, tb = [], []
+    first = (reps + 1) // 2
+    for phase in ((fn_a, ta, first), (fn_b, tb, reps),
+                  (fn_a, ta, reps - first)):
+        fn, out, n = phase
+        for _ in range(n):
             t0 = time.perf_counter()
             fn()
-            times[i].append(time.perf_counter() - t0)
-    return [float(np.min(t)) for t in times]
+            out.append(time.perf_counter() - t0)
+    return float(np.min(ta)), float(np.min(tb))
 
 
 def main():
@@ -93,8 +98,8 @@ def main():
 
         base, meta = baseline()
         assert meta["frames"] == r.stats["frames"]
-        t_engine, t_cpu = best_times_interleaved(
-            [lambda: zflac_tpu.decode(data), baseline])
+        t_engine, t_cpu = best_times_aba(
+            lambda: zflac_tpu.decode(data), baseline)
         engine_msps = total / t_engine / 1e6
         cpu_msps = total / t_cpu / 1e6
         vs = engine_msps / cpu_msps
