@@ -168,3 +168,23 @@ def test_native_parallel_decode_large_configs(name, opts):
     base, bmeta = decode_cpu_native(data)
     np.testing.assert_array_equal(arr, base)
     assert meta["computed_md5"] == bmeta["md5"]
+
+
+@pytest.mark.parametrize("ch", [1, 3, 6, 8])
+def test_native_parallel_decode_multichannel(ch):
+    """Mono and surround through the threaded engine's batched
+    reconstruction (1-8 lanes per frame), bit-exact vs sequential."""
+    from zflac_tpu.encoder import EncoderConfig, encode
+    from zflac_tpu.index.native_indexer import (
+        decode_cpu_native,
+        decode_native_parallel,
+    )
+    from zflac_tpu.testing import tone_mix
+
+    pcm = tone_mix(400_000 // ch * 2, ch, 16, seed=ch)
+    data = encode(pcm, 48000, 16, EncoderConfig(block_size=2048))
+    assert len(data) > (1 << 18)
+    a, am = decode_native_parallel(data)
+    b, bm = decode_cpu_native(data)
+    np.testing.assert_array_equal(a, b)
+    assert am["computed_md5"] == bm["md5"]

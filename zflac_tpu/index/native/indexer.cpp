@@ -1963,7 +1963,11 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
                               int compute_md5) {
   size_t span = len - first_frame_byte;
   unsigned T = std::thread::hardware_concurrency();
-  if (T < 2 || span < (1u << 20)) return false;
+  // Threshold low enough that typical single tracks (a few hundred KB
+  // and up) get the threaded engine; tiny streams stay on the
+  // sequential path whose per-frame error ordering the faulty-stream
+  // tests pin exactly.
+  if (T < 2 || span < (1u << 18)) return false;
   if (T > 16) T = 16;
   uint32_t si_bps = out->si_bits_per_sample;
   unsigned nbytes = (si_bps + 7) / 8;
