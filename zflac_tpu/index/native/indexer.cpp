@@ -17,11 +17,38 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <chrono>
+#include <cstdio>
 #include <mutex>
 #include <thread>
 #include <vector>
 
 namespace {
+
+// Worker-count override for experiments / constrained hosts
+// (ZFI_THREADS), and an env-gated stage profiler (ZFI_PROF=1 prints
+// per-phase wall times of the parallel engine to stderr).
+static unsigned engine_threads() {
+  unsigned T = std::thread::hardware_concurrency();
+  if (const char* e = std::getenv("ZFI_THREADS")) {
+    int v = std::atoi(e);
+    if (v > 0) T = (unsigned)v;
+  }
+  return T;
+}
+
+static bool prof_enabled() {
+  static int on = [] {
+    const char* e = std::getenv("ZFI_PROF");
+    return (e && e[0] && e[0] != '0') ? 1 : 0;
+  }();
+  return on != 0;
+}
+
+using ProfClock = std::chrono::steady_clock;
+static double prof_ms(ProfClock::time_point a, ProfClock::time_point b) {
+  return std::chrono::duration<double, std::milli>(b - a).count();
+}
 
 // ---- error codes (must match native_indexer.py ERROR_MAP) ----
 enum ErrCode : int {
@@ -1322,7 +1349,7 @@ static bool parallel_index(const uint8_t* data, size_t len, int check_crc,
                            const Plan* si, Range<V>& out, int* seq_err,
                            bool emit_groups = false) {
   size_t span = len - first_frame_byte;
-  unsigned T = std::thread::hardware_concurrency();
+  unsigned T = engine_threads();
   if (T < 2 || span < (1u << 20)) return false;
   if (T > 16) T = 16;
 
@@ -1962,12 +1989,13 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
                               void** out_samples, int check_crc,
                               int compute_md5) {
   size_t span = len - first_frame_byte;
-  unsigned T = std::thread::hardware_concurrency();
+  unsigned T = engine_threads();
   // Threshold low enough that typical single tracks (a few hundred KB
   // and up) get the threaded engine; tiny streams stay on the
   // sequential path whose per-frame error ordering the faulty-stream
   // tests pin exactly.
   if (T < 2 || span < (1u << 18)) return false;
+  auto prof_t0 = ProfClock::now();
   if (T > 16) T = 16;
   uint32_t si_bps = out->si_bits_per_sample;
   unsigned nbytes = (si_bps + 7) / 8;
@@ -2004,6 +2032,9 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
   for (size_t m = 0; m < M; m++)
     if (anchors[m] >= 0 && (starts.empty() || anchors[m] > starts.back()))
       starts.push_back(anchors[m]);
+  auto prof_t1 = ProfClock::now();
+  // Per-worker busy/drain accumulators (indexed by worker id).
+  std::vector<double> prof_busy(T, 0.0), prof_drain(T, 0.0);
 
   struct Seg {
     std::vector<C> pcm;
@@ -2070,7 +2101,7 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
     std::vector<std::thread> th;
     unsigned W = std::min<size_t>(T, segs.size());
     for (unsigned t = 0; t < W; t++) {
-      th.emplace_back([&] {
+      th.emplace_back([&, t] {
         for (;;) {
           size_t grab[3];
           int ng = 0;
@@ -2090,7 +2121,9 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
             cs[i].init(data, len, lo, hi, out->si_sample_rate, si_bps,
                        check_crc, &r.pcm, &r.frames);
           }
+          auto pb0 = ProfClock::now();
           run_cursors<V, C>(cs, ng);
+          auto pb1 = ProfClock::now();
           for (int i = 0; i < ng; i++) {
             Seg& r = segs[grab[i]];
             r.err = cs[i].err;
@@ -2098,12 +2131,16 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
             r.done.store(1, std::memory_order_release);
           }
           drain_hash();
+          auto pb2 = ProfClock::now();
+          prof_busy[t] += prof_ms(pb0, pb1);
+          prof_drain[t] += prof_ms(pb1, pb2);
           if (ng < 3) break;
         }
       });
     }
     for (auto& x : th) x.join();
   }
+  auto prof_t2 = ProfClock::now();
   if (compute_md5 || pre) {
     std::lock_guard<std::mutex> lk(hash_mu);
     while (hash_frontier < segs.size() &&
@@ -2220,6 +2257,18 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
   out->total_samples = pcm_start;
   out->value_width = (int32_t)sizeof(C);
   *out_samples = result;
+  if (prof_enabled()) {
+    auto prof_t3 = ProfClock::now();
+    std::fprintf(stderr,
+                 "[zfi] segs=%zu T=%u anchors=%.2fms decode=%.2fms "
+                 "tail=%.2fms total=%.2fms\n",
+                 segs.size(), T, prof_ms(prof_t0, prof_t1),
+                 prof_ms(prof_t1, prof_t2), prof_ms(prof_t2, prof_t3),
+                 prof_ms(prof_t0, prof_t3));
+    for (unsigned t = 0; t < T; t++)
+      std::fprintf(stderr, "[zfi]   w%u busy=%.2fms drain=%.2fms\n", t,
+                   prof_busy[t], prof_drain[t]);
+  }
   return true;
 }
 
@@ -2329,7 +2378,7 @@ static int reconstruct_t(const Plan* p, void** out_samples) {
   C* out = (C*)std::malloc(n * sizeof(C) + 1);
   if (!out) return E_UNIMPLEMENTED;
   size_t F = p->num_frames;
-  unsigned T = std::thread::hardware_concurrency();
+  unsigned T = engine_threads();
   if (T < 2 || F < 8) {
     reconstruct_frames_range<V, C>(p, 0, F, out);
   } else {
