@@ -63,8 +63,10 @@ def test_pack2_rows_match_host(name, corpus):
     residual rows bit-exactly."""
     data, pcm, sr, bps = corpus[name]
     plan = build_plan_native(data)
-    if plan.rows is None or plan.rows.dtype != np.int32:
-        pytest.skip("int64 stream (general engine path)")
+    if plan.rows is None:
+        pytest.skip("skim plan (no host rows)")
+    # int64 host plans (hi-res) cast exactly: residuals/warm-ups fit
+    # int32 in the pack2-admitted domain.
     from zflac_tpu.bitio import BitReader
     from zflac_tpu.oracle import parse_metadata
     br = BitReader(data)

@@ -2446,8 +2446,7 @@ int zfi_pack2_range(const uint8_t* data, size_t len, uint64_t start_byte,
                     int32_t force_Bp, int32_t force_W, Pack2* out) {
   std::memset(out, 0, sizeof(Pack2));
   out->landed = -1;
-  uint32_t aligned = (si_bps + 7) & ~7u;
-  if (aligned > 16) return E_PACK2_FALLBACK;
+  if (si_bps > 32) return E_PACK2_FALLBACK;
   try {
     Pack2Range r;
     BitReader br{data, len, start_byte * 8};

@@ -304,7 +304,7 @@ def decode_to_device_sharded(data: bytes, mesh: Mesh,
         return None
     br = BitReader(data)
     info = parse_metadata(br)
-    if info.bits_per_sample > 16:
+    if info.bits_per_sample > 32:
         return None
     pos = br.pos // 8
     D = mesh.devices.size

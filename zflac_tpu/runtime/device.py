@@ -105,6 +105,12 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
     # ---- per-class reconstruction ----
     from .reconstruct import _fixed_integrate, _lpc_scan
     signal = jnp.zeros((Sp, Bp), jnp.int32)
+    # High-res (container int32, 17-32 bps) needs the reference's
+    # 64-bit LPC accumulator (InterType i64, zflac.zig:314-319): route
+    # LPC classes through the hi/lo wide kernel. Everything else in the
+    # chunk (fixed cumsums, wasted shift, decorrelation) is linear or
+    # value-bounded, hence exact in int32 wraparound.
+    wide = container_bits == 32
 
     def gather_ci(name):
         return _sect(buf, off["ci_" + name], classes[name])
@@ -129,11 +135,25 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
             from ..ops.lpc2 import lpc2_lanes, lpc2_reconstruct_inline
             lanes = lpc2_lanes(idx.shape[0], Bp)
         if lanes is not None:
-            out_l = lpc2_reconstruct_inline(
+            if wide:
+                from ..ops.lpc2w import lpc2w_reconstruct_inline
+                out_l = lpc2w_reconstruct_inline(
+                    rows[idx].T, cfwd[idx][:, :hist].T,
+                    shift[idx][None, :], order[idx][None, :],
+                    lanes=lanes, hist=hist, unroll=8).T
+            else:
+                out_l = lpc2_reconstruct_inline(
+                    rows[idx].T, cfwd[idx][:, :hist].T,
+                    shift[idx][None, :], order[idx][None, :],
+                    lanes=lanes, hist=hist,
+                    unroll=8).T
+        elif wide:
+            # Same wide step math as the kernel, as a lax.scan
+            # (CPU tests / non-TPU backends).
+            from ..ops.lpc2w import lpc2w_scan
+            out_l = lpc2w_scan(
                 rows[idx].T, cfwd[idx][:, :hist].T,
-                shift[idx][None, :], order[idx][None, :],
-                lanes=lanes, hist=hist,
-                unroll=8).T
+                shift[idx][None, :], order[idx][None, :], hist=hist).T
         else:
             # XLA scan fallback (CPU tests / non-TPU backends); wants
             # reversed coefficients [n, 32] (slot 31-j = c_{j+1}).
@@ -253,9 +273,8 @@ def decode_to_device(data: bytes, check_crc: bool = False,
         return None
     br = BitReader(data)
     info = parse_metadata(br)
-    if fmt.container_bits(info.bits_per_sample) > 16 or \
-            info.bits_per_sample > 16:
-        return None  # int32 kernel envelope (<=16-bit streams)
+    if info.bits_per_sample > 32:
+        return None
     pos = br.pos // 8
     Bp = _bucket_block(max(info.max_block_size, 16))
     if chunk_frames <= 0:
