@@ -25,24 +25,38 @@ sys.path.insert(0, REPO)
 from zflac_tpu.index.native_indexer import _Plan  # noqa: E402
 
 
+_NATIVE_SOURCES = ("indexer.cpp", "pack2_helpers.inc",
+                   "interleave.inc", "simd512.inc")
+
+
 def build_rev(rev: str) -> str:
+    """Extract the FULL native engine (indexer.cpp + its .inc kernel
+    files) at `rev` and build it with the current production flags."""
     tmp = tempfile.mkdtemp(prefix="zflac_ab_")
-    src = os.path.join(tmp, "indexer.cpp")
-    with open(src, "wb") as f:
-        f.write(subprocess.check_output(
-            ["git", "-C", REPO, "show",
-             f"{rev}:zflac_tpu/index/native/indexer.cpp"]))
+    for name in _NATIVE_SOURCES:
+        try:
+            blob = subprocess.check_output(
+                ["git", "-C", REPO, "show",
+                 f"{rev}:zflac_tpu/index/native/{name}"],
+                stderr=subprocess.DEVNULL)
+        except subprocess.CalledProcessError:
+            continue  # rev predates this kernel file
+        with open(os.path.join(tmp, name), "wb") as f:
+            f.write(blob)
     so = os.path.join(tmp, "lib.so")
-    subprocess.check_call(["g++", "-O3", "-march=native", "-std=c++17",
-                           "-shared", "-fPIC", "-pthread", "-o", so, src])
+    subprocess.check_call(["g++", "-O3", "-march=native", "-std=c++20",
+                           "-fwrapv", "-shared", "-fPIC", "-pthread",
+                           "-o", so, os.path.join(tmp, "indexer.cpp")])
     return so
 
 
 def bench_so(path: str, data: bytes, reps: int = 9) -> float:
+    """Median wall time of the full native decode (parallel engine,
+    MD5 on — the same work bench.py's baseline performs)."""
     lib = ctypes.CDLL(path)
     lib.zfi_decode_parallel.restype = ctypes.c_int
     lib.zfi_decode_parallel.argtypes = [
-        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(_Plan), ctypes.POINTER(ctypes.c_void_p)]
     lib.zfi_free.argtypes = [ctypes.POINTER(_Plan)]
     lib.zfi_free_samples.argtypes = [ctypes.c_void_p]
@@ -51,7 +65,7 @@ def bench_so(path: str, data: bytes, reps: int = 9) -> float:
         plan = _Plan()
         sp = ctypes.c_void_p()
         t0 = time.perf_counter()
-        rc = lib.zfi_decode_parallel(data, len(data), 0,
+        rc = lib.zfi_decode_parallel(data, len(data), 0, 1,
                                      ctypes.byref(plan), ctypes.byref(sp))
         times.append(time.perf_counter() - t0)
         assert rc == 0, rc

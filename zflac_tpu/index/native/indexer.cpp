@@ -20,6 +20,7 @@
 #include <chrono>
 #include <cstdio>
 #include <mutex>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -70,6 +71,42 @@ enum ErrCode : int {
 
 struct Thrown { int code; };
 static void fail(int code) { throw Thrown{code}; }
+
+// ---- scoped trace logging ----
+// Mirrors utils/log.py and the reference's four std.log scopes
+// (/root/reference/src/zflac.zig:5-8): ZFLAC_TPU_LOG=stream,frame,
+// subframe,residual (or "all") enables the corresponding per-stream /
+// per-frame / per-subframe / per-partition lines on stderr. One
+// predictable branch per site when disabled.
+struct TraceCfg {
+  bool stream = false, frame = false, subframe = false, residual = false;
+  TraceCfg() {
+    const char* e = std::getenv("ZFLAC_TPU_LOG");
+    if (!e) return;
+    std::string s(e);
+    size_t pos = 0;
+    while (pos <= s.size()) {
+      size_t c = s.find(',', pos);
+      if (c == std::string::npos) c = s.size();
+      std::string tok = s.substr(pos, c - pos);
+      if (tok == "all") stream = frame = subframe = residual = true;
+      else if (tok == "stream") stream = true;
+      else if (tok == "frame") frame = true;
+      else if (tok == "subframe") subframe = true;
+      else if (tok == "residual") residual = true;
+      pos = c + 1;
+    }
+  }
+};
+static const TraceCfg g_trace;
+#define ZTRACE(scope, ...)                                       \
+  do {                                                           \
+    if (g_trace.scope) {                                         \
+      std::fprintf(stderr, "zflac_tpu.%s: ", #scope);            \
+      std::fprintf(stderr, __VA_ARGS__);                         \
+      std::fputc('\n', stderr);                                  \
+    }                                                            \
+  } while (0)
 
 // ---- MSB-first bit reader over an in-memory buffer ----
 // Same semantics as the reference's BitReader
@@ -543,6 +580,7 @@ static void decode_residuals(BitReader& br, std::vector<V>& vals,
       count -= order;
     }
     uint32_t k = (uint32_t)br.read_bits(pbits);
+    ZTRACE(residual, "partition %u/%u k=%u n=%u", p, parts, k, count);
     if (k == escape) {
       uint32_t depth = (uint32_t)br.read_bits(5);
       if (depth == 0) {
@@ -596,6 +634,7 @@ static void decode_residuals_into(BitReader& br, V* out,
       count -= order;
     }
     uint32_t k = (uint32_t)br.read_bits(pbits);
+    ZTRACE(residual, "partition %u/%u k=%u n=%u", p, parts, k, count);
     if (k == escape) {
       uint32_t depth = (uint32_t)br.read_bits(5);
       if (depth == 0) {
@@ -1785,6 +1824,8 @@ static FrameInfo decode_one_frame(BitReader& br, const uint8_t* data,
     nch = ctx->locked_count;
   }
 
+  ZTRACE(frame, "frame @%zu bs=%u sr=%u ch_code=%u bps=%u",
+         frame_start, block_size, frame_sr, ch_code, bits_per_sample);
   uint32_t header_crc = br.read_u8();
   if (check_crc) {
     if (crc8_range(data + frame_start, br.byte_pos() - 1 - frame_start)
@@ -1806,6 +1847,8 @@ static FrameInfo decode_one_frame(BitReader& br, const uint8_t* data,
     uint32_t sub_bps = bits_per_sample + ((int)ch == side ? 1 : 0);
     if (wasted >= sub_bps) fail(E_INVALID_SUBFRAME_HEADER);
     uint32_t depth = sub_bps - wasted;
+    ZTRACE(subframe, "ch=%u type=%u wasted=%u depth=%u", ch, type_bits,
+           wasted, depth);
 
     if (type_bits == 0) {  // constant
       V v = (V)br.read_signed(depth);
@@ -2281,6 +2324,7 @@ static int decode_auto_t(const uint8_t* data, size_t len, BitReader br,
     if (decode_parallel_t<V, C>(data, len, br.byte_pos(), out,
                                 out_samples, check_crc, compute_md5))
       return OK;
+    ZTRACE(stream, "parallel engine declined; sequential fallback");
   }
   return decode_cpu_t<V, C>(data, len, br, out, out_samples, check_crc,
                             compute_md5, /*fast=*/true);
@@ -2505,6 +2549,13 @@ int zfi_decode_parallel(const uint8_t* data, size_t len, int check_crc,
   try {
     BitReader br{data, len, 0};
     parse_stream_meta(br, out);
+    ZTRACE(stream,
+           "decode_parallel: %zu bytes sr=%u ch=%u bps=%u total=%llu "
+           "crc=%d md5=%d",
+           len, out->si_sample_rate, out->si_channels,
+           out->si_bits_per_sample,
+           (unsigned long long)out->si_total_samples, check_crc,
+           compute_md5);
     uint32_t aligned = (out->si_bits_per_sample + 7) & ~7u;
     if (aligned == 8)
       return decode_auto_t<int32_t, int8_t>(

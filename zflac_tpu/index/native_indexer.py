@@ -21,6 +21,16 @@ _SRC_INCS = (os.path.join(_NATIVE_DIR, "pack2_helpers.inc"),
              os.path.join(_NATIVE_DIR, "interleave.inc"),
              os.path.join(_NATIVE_DIR, "simd512.inc"))
 _SO = os.path.join(_NATIVE_DIR, "libzflac_index.so")
+# ZFLAC_TPU_SANITIZE=asan,ubsan (any non-empty subset) compiles the
+# engine -O1 with those sanitizers into a separate .so — the
+# checked-arithmetic pass mirroring the reference's debug CI run
+# (zig build test without --release, bit_reader.zig:26-34 asserts).
+# ASan-instrumented libraries need the ASan runtime preloaded into
+# python: tools/sanitize_run.py handles the LD_PRELOAD dance.
+_SANITIZE = os.environ.get("ZFLAC_TPU_SANITIZE", "")
+if _SANITIZE:
+    _SO = os.path.join(_NATIVE_DIR,
+                       f"libzflac_index_{_SANITIZE.replace(',', '_')}.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -227,8 +237,23 @@ def pack2_range(data: bytes, start_byte: int, stop_byte: int,
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-           "-fPIC", "-o", _SO, _SRC]
+    # c++20 + -fwrapv: left shift of negative values and signed
+    # overflow are defined two's-complement wraparound — exactly the
+    # wasted-bits/normalization/recurrence semantics the decoder needs
+    # on corrupt input (garbage values wrap, then the MD5/CRC checks
+    # reject the stream; the reference's release build behaves the
+    # same, zig wraps in ReleaseFast). UBSan then correctly checks
+    # only what must never happen: OOB, misalignment, bad shifts.
+    if _SANITIZE:
+        san = _SANITIZE.replace("asan", "address").replace(
+            "ubsan", "undefined")
+        cmd = ["g++", "-O1", "-g", "-march=native", "-std=c++20",
+               "-fwrapv", f"-fsanitize={san}",
+               "-fno-sanitize-recover=all", "-fno-omit-frame-pointer",
+               "-shared", "-fPIC", "-o", _SO, _SRC]
+    else:
+        cmd = ["g++", "-O3", "-march=native", "-std=c++20", "-fwrapv",
+               "-shared", "-fPIC", "-o", _SO, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         return True

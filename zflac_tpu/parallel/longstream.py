@@ -34,6 +34,9 @@ from ..errors import InvalidFrameHeader
 from ..oracle import parse_metadata
 from ..bitio import BitReader
 from ..plan import StreamPlan
+from ..utils.log import get_logger
+
+_log_shard = get_logger("shard")
 
 try:
     shard_map = jax.shard_map
@@ -75,6 +78,9 @@ def shard_index(data: bytes, num_shards: int, check_crc: bool = False):
         stop = starts[i + 1] if i + 1 < len(starts) else len(data)
         plan, landed = index_range(data, a, stop, info,
                                    check_crc=check_crc)
+        _log_shard.debug("shard %d: anchor=%d landed=%d frames=%d "
+                         "samples=%d", i, a, landed, plan.num_frames,
+                         plan.total_samples)
         shards.append((a, landed, plan))
     return info, shards
 

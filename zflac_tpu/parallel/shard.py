@@ -22,6 +22,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import format as fmt
 from ..plan import StreamPlan
+from ..utils.log import get_logger
+
+_log_shard = get_logger("shard")
 from ..runtime.reconstruct import (
     _fixed_integrate,
     _lpc_scan,
@@ -338,6 +341,9 @@ def decode_to_device_sharded(data: bytes, mesh: Mesh,
         pos = ck.landed
     if not cks or pos < len(data):
         return None  # estimate missed; caller falls back
+    _log_shard.debug(
+        "pack2 sharded: %d chunks over %d devices, %s frames/chunk, "
+        "Bp=%d", len(cks), D, [ck.F for ck in cks], Bp)
     bufs, spec = repack_common(cks, D)
 
     use_pallas = all(d.platform == "tpu" for d in mesh.devices.flat)

@@ -18,6 +18,11 @@ from ..index import build_plan
 from ..plan import StreamPlan
 from ..result import DecodedFLAC, container_dtype
 from .reconstruct import reconstruct
+from ..utils.log import get_logger
+
+_log_stream = get_logger("stream")
+_log_frame = get_logger("frame")
+_log_kernel = get_logger("kernel")
 
 
 def _pad_pow2(n: int, lo: int = 1) -> int:
@@ -556,6 +561,10 @@ def _decode_native(data: bytes, check_crc: bool,
     arr, meta = decode_native_parallel(data, check_crc=check_crc,
                                        compute_md5=verify_md5)
     si_bps = meta["si_bits_per_sample"]
+    _log_stream.debug(
+        "decode: %d bytes -> %d frames, engine=native (per-frame trace:"
+        " ZFLAC_TPU_LOG reaches the C++ engine too)", len(data),
+        meta["frames"])
     if verify_md5:
         # The digest is computed inline by the native decoder,
         # overlapped with the decode itself; fall back to the host hash
@@ -625,16 +634,37 @@ def decode(data: bytes, check_crc: bool = False, verify_md5: bool = True,
         plan.wide = (plan.kind == 3)
     dtype = container_dtype(plan.info.bits_per_sample)
 
+    if _log_stream.isEnabledFor(10):
+        _log_stream.debug(
+            "decode: %d bytes sr=%d ch=%d bps=%d frames=%d subframes=%d",
+            len(data), plan.info.sample_rate, plan.info.channel_count,
+            plan.info.bits_per_sample, plan.num_frames,
+            plan.num_subframes)
+    if _log_frame.isEnabledFor(10) and plan.num_frames:
+        for f in range(plan.num_frames):
+            _log_frame.debug("frame %d @%d bs=%d ch_code=%d", f,
+                             plan.frame_byte_offset[f],
+                             plan.block_size[f], plan.channel_code[f])
+
     if plan.num_frames == 0:
         interleaved = np.zeros(0, dtype=dtype)
+        path = "empty"
     else:
-        if plan.rows is None:
-            pcm = _run_reconstruct_skim(plan, data)
-        elif device_unpack and plan.rows.dtype == np.int32:
-            pcm = _run_reconstruct_device(plan, data)
-        else:
-            pcm = _run_reconstruct(plan)
-        interleaved = _assemble(plan, pcm)
+        from ..utils.profiler import maybe_trace
+        with maybe_trace("zflac_tpu.decode"):
+            if plan.rows is None:
+                pcm = _run_reconstruct_skim(plan, data)
+                path = "skim"
+            elif device_unpack and plan.rows.dtype == np.int32:
+                pcm = _run_reconstruct_device(plan, data)
+                path = "device_unpack"
+            else:
+                pcm = _run_reconstruct(plan)
+                path = "rows"
+            interleaved = _assemble(plan, pcm)
+        _log_kernel.debug("reconstruct path=%s classes=%s", path,
+                          {k: len(v) for k, v in plan.classes().items()
+                           if len(v)})
 
     if verify_md5:
         if not verify_stream_md5(interleaved, plan.info.bits_per_sample,
@@ -648,6 +678,7 @@ def decode(data: bytes, check_crc: bool = False, verify_md5: bool = True,
 
     stats = dict(plan.stats)
     stats["engine"] = "xla"
+    stats["path"] = path
     return DecodedFLAC(
         channels=plan.channels or plan.info.channel_count,
         sample_rate=plan.sample_rate or plan.info.sample_rate,
