@@ -1375,6 +1375,26 @@ static int64_t find_anchor_light(const uint8_t* data, size_t len,
   return -1;
 }
 
+// Blocking-strategy bit + coded number of a (pre-validated) frame
+// header at byte `at` — enough to place the frame's output in the
+// stream: fixed blocking encodes the frame index (x nominal block
+// size = first sample), variable blocking encodes the first sample
+// directly (reference read_coded_number, zflac.zig:203-214).
+static bool peek_frame_position(const uint8_t* data, size_t len,
+                                int64_t at, int* variable,
+                                uint64_t* coded) {
+  BitReader br{data, len, (uint64_t)at * 8};
+  try {
+    uint64_t hdr = br.read_u32();
+    if ((hdr >> 17) != (0xFFF8u >> 1)) return false;
+    *variable = (int)((hdr >> 16) & 1);
+    *coded = read_coded_number(br);
+    return true;
+  } catch (const Thrown&) {
+    return false;
+  }
+}
+
 template <typename V>
 struct SegResult {
   Range<V> range;
@@ -2084,6 +2104,8 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
     std::vector<FrameInfo> frames;
     int64_t landed = -1;
     int err = OK;
+    uint64_t out_lo = 0;  // direct mode: slice start in output values
+    size_t out_n = 0;     // direct mode: values written
     std::atomic<int> done{0};
   };
   std::vector<Seg> segs(starts.size());
@@ -2105,12 +2127,65 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
     void** p;
     ~FreeGuard() { std::free(*p); }
   } pre_guard{(void**)&pre};
+
+  // Direct-write mode: each segment's global output offset follows
+  // from its first frame's coded number, so cursors decode straight
+  // into their slice of `pre` — no per-segment PCM vectors and no
+  // merge memcpy. Any anomaly (parse surprise, non-monotone offsets,
+  // slice overflow, chain break) abandons the parallel path and the
+  // sequential engine redoes the stream with exact semantics.
+  bool direct = pre != nullptr;
+  {
+    const char* e = std::getenv("ZFI_DIRECT");  // A/B escape hatch
+    if (e && e[0] == '0') direct = false;
+  }
+  std::vector<uint64_t> seg_lo(starts.size(), 0);
+  {
+    uint64_t nominal_bs = out->min_block_size == out->max_block_size
+                              ? out->min_block_size : 0;
+    int var_mode = -1;
+    for (size_t s = 0; s < starts.size() && direct; s++) {
+      int vb = 0;
+      uint64_t coded = 0;
+      if (!peek_frame_position(data, len, starts[s], &vb, &coded)) {
+        direct = false;
+        break;
+      }
+      if (var_mode < 0) var_mode = vb;
+      if (var_mode != vb || (!vb && nominal_bs == 0)) {
+        direct = false;
+        break;
+      }
+      uint64_t start_sample = vb ? coded : coded * nominal_bs;
+      seg_lo[s] = start_sample * (uint64_t)out->si_channels;
+      if (seg_lo[s] > precap || (s == 0 && seg_lo[s] != 0) ||
+          (s > 0 && seg_lo[s] <= seg_lo[s - 1]))
+        direct = false;
+    }
+  }
   auto drain_one = [&](Seg& h) {
     // One contiguous completed chunk, in stream order: hash it and
-    // copy it into the pre-allocated output. An errored chunk's pcm
+    // land it in the pre-allocated output. An errored chunk's pcm
     // may hold a partially-written frame, so any error invalidates
     // both the pipelined digest and the pipelined copy (the caller
-    // redoes them from the merged output in that rare case).
+    // redoes them from the merged output in that rare case). Direct
+    // mode: the cursor already wrote in place; just verify the slice
+    // is the next contiguous piece and hash it where it lies.
+    if (direct) {
+      bool contiguous = h.err == OK && h.out_lo == copy_off &&
+                        h.out_lo + h.out_n <= precap;
+      if (contiguous && hash_ok) {
+        if (compute_md5)
+          md5_update_samples<C>(md5, pre + h.out_lo, h.out_n, nbytes);
+      } else {
+        hash_ok = false;
+      }
+      if (contiguous && copy_ok)
+        copy_off += h.out_n;
+      else
+        copy_ok = false;
+      return;
+    }
     if (h.err == OK && hash_ok) {
       if (compute_md5)
         md5_update_samples<C>(md5, h.pcm.data(), h.pcm.size(), nbytes);
@@ -2126,15 +2201,32 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
       copy_ok = false;
     }
   };
-  auto drain_hash = [&] {
+  auto drain_hash = [&](size_t max_segs) {
     // try_lock: if another worker is already draining, it will pick up
     // this chunk; the post-join drain catches the race where no one
-    // holds the lock.
+    // holds the lock. Bounded bites (max_segs) keep the drainer from
+    // hashing a long backlog while the other worker decodes alone —
+    // the 2-core schedule stays packed when both alternate decode and
+    // hash in small pieces.
     if (!compute_md5 && !pre) return;
     std::unique_lock<std::mutex> lk(hash_mu, std::try_to_lock);
     if (!lk.owns_lock()) return;
-    while (hash_frontier < segs.size() &&
-           segs[hash_frontier].done.load(std::memory_order_acquire)) {
+    // Adaptive bite: hash half the contiguous done backlog (at least
+    // max_segs) — keeps the frontier close without one worker hashing
+    // the whole backlog while the other decodes alone, and shrinks
+    // the serial post-join tail.
+    size_t avail = 0;
+    while (hash_frontier + avail < segs.size() &&
+           segs[hash_frontier + avail].done.load(
+               std::memory_order_acquire))
+      avail++;
+    size_t bite = std::max(max_segs, (avail + 1) / 2);
+    static const size_t env_bite = [] {  // A/B escape hatch
+      const char* e = std::getenv("ZFI_BITE");
+      return e ? (size_t)std::atoll(e) : (size_t)0;
+    }();
+    if (env_bite) bite = env_bite;
+    for (size_t i = 0; i < bite && i < avail; i++) {
       drain_one(segs[hash_frontier]);
       hash_frontier++;
     }
@@ -2160,9 +2252,19 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
             int64_t lo = starts[s];
             int64_t hi =
                 s + 1 < starts.size() ? starts[s + 1] : (int64_t)len;
-            r.pcm.reserve((size_t)(hi - lo) * 2);
+            OutSink<C> snk;
+            if (direct) {
+              uint64_t slice_hi = s + 1 < starts.size()
+                                      ? seg_lo[s + 1] : precap;
+              r.out_lo = seg_lo[s];
+              snk.base = pre + seg_lo[s];
+              snk.cap = (size_t)(slice_hi - seg_lo[s]);
+            } else {
+              r.pcm.reserve((size_t)(hi - lo) * 2);
+              snk.vec = &r.pcm;
+            }
             cs[i].init(data, len, lo, hi, out->si_sample_rate, si_bps,
-                       check_crc, &r.pcm, &r.frames);
+                       check_crc, snk, &r.frames);
           }
           auto pb0 = ProfClock::now();
           run_cursors<V, C>(cs, ng);
@@ -2171,9 +2273,13 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
             Seg& r = segs[grab[i]];
             r.err = cs[i].err;
             r.landed = cs[i].landed;
+            r.out_n = cs[i].pcm.used;
             r.done.store(1, std::memory_order_release);
           }
-          drain_hash();
+          // Unbounded drain measured best on the 2-core host (the
+          // adaptive/bounded bites trade a shorter tail for worse
+          // decode overlap; ZFI_BITE re-exposes them for tuning).
+          drain_hash(segs.size());
           auto pb2 = ProfClock::now();
           prof_busy[t] += prof_ms(pb0, pb1);
           prof_drain[t] += prof_ms(pb1, pb2);
@@ -2262,6 +2368,10 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
       copy_off == n_out) {
     result = pre;
     pre = nullptr;
+  } else if (direct) {
+    // Direct mode has no per-segment vectors to merge from; any
+    // trim/ordering surprise falls back to the sequential engine.
+    return false;
   } else {
     result = (C*)std::malloc(n_out * sizeof(C) + 1);
     if (!result) fail(E_UNIMPLEMENTED);
