@@ -75,17 +75,58 @@ def bench_so(path: str, data: bytes, reps: int = 9) -> float:
 
 
 def main() -> int:
-    rev = sys.argv[1] if len(sys.argv) > 1 else "HEAD~1"
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("rev", nargs="?", default="HEAD~1")
+    ap.add_argument("--corpus", action="store_true",
+                    help="time every conformance-corpus stream A/B "
+                    "(the reference's per-file zbench protocol, "
+                    "/root/reference/benchmarks/std_subset.zig)")
+    args = ap.parse_args()
+    rev = args.rev
     sys.path.insert(0, REPO)
-    import bench as benchmod
-    data = benchmod.get_stream()
 
     cur_so = os.path.join(REPO, "zflac_tpu", "index", "native",
                           "libzflac_index.so")
-    t_cur = bench_so(cur_so, data)
+    if not os.path.exists(cur_so):
+        from zflac_tpu.index.native_indexer import native_available
+        assert native_available()
     # NOTE: the prior .so is loaded with the CURRENT _Plan layout; revs
     # that predate a layout change cannot be A/B'd safely.
     old_so = build_rev(rev)
+
+    if args.corpus:
+        from zflac_tpu.testing import make_corpus
+
+        rows = []
+        worst = (1e9, "")
+        for name, (data, pcm, sr, bps) in sorted(make_corpus().items()):
+            t_cur = bench_so(cur_so, data, reps=5)
+            t_old = bench_so(old_so, data, reps=5)
+            sp = t_old / t_cur
+            rows.append({"file": name, "head_ms": round(t_cur * 1e3, 3),
+                         "rev_ms": round(t_old * 1e3, 3),
+                         "speedup": round(sp, 3)})
+            if sp < worst[0]:
+                worst = (sp, name)
+        for r in rows:
+            print(f"{r['file']:32s} head {r['head_ms']:8.3f} ms   "
+                  f"{rev} {r['rev_ms']:8.3f} ms   x{r['speedup']:.3f}")
+        print(json.dumps({
+            "metric": "native_decode_ab_corpus",
+            "files": len(rows),
+            "geomean_speedup": round(
+                float(np.exp(np.mean([np.log(r["speedup"])
+                                      for r in rows]))), 3),
+            "worst_speedup": round(worst[0], 3),
+            "worst_file": worst[1],
+        }))
+        return 0
+
+    import bench as benchmod
+    data = benchmod.get_stream()
+    t_cur = bench_so(cur_so, data)
     t_old = bench_so(old_so, data)
     print(json.dumps({
         "metric": "native_decode_ab",
