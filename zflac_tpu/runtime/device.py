@@ -58,14 +58,20 @@ def _sect(buf, off: int, n: int):
 
 def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
                             container_bits: int, do_decorrelate: bool,
-                            use_pallas: bool):
+                            use_pallas: bool, stage: str = "full",
+                            combine: str = "scatter"):
     """One packed pack2 chunk -> container-width PCM [Fp, Bp, C].
     Not jitted: traced under reconstruct_pack2's jit or inside a
     shard_map body (parallel/shard.py).
 
     `spec` is Pack2Chunk.spec_key(): (Fp, Sp, Bp, GPB, W, NGp,
     n_patch_p, C, classes, offsets) — static, so each stream geometry
-    compiles once and chunks reuse the executable."""
+    compiles once and chunks reuse the executable.
+
+    `stage` truncates the graph for on-chip profiling
+    (tools/profile_pack2.py): "unpack" returns the raw kernel output,
+    "rows" the assembled residual rows, "signal" the reconstructed
+    subframes; "full" (production) the PCM."""
     from ..ops.rice16 import G2, _unpack16_math, rice16_unpack_inline
     (Fp, Sp, Bp, GPB, W, NGp, n_patch_p, C, classes, off_items) = spec
     off = dict(off_items)
@@ -91,6 +97,8 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
         out = rice16_unpack_inline(win, meta, lanes=2048)
     else:
         out = _unpack16_math(win, meta)
+    if stage == "unpack":
+        return out
     rows = out[:, :Sp * GPB].T.reshape(Sp, GPB * G2)
     rows = rows[:, :Bp] if GPB * G2 >= Bp else jnp.pad(
         rows, ((0, 0), (0, Bp - GPB * G2)))
@@ -101,10 +109,20 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
     rows = rows.reshape(-1).at[pidx].set(pval, mode="drop")
     rows = rows.reshape(Sp, Bp)
     rows = jnp.where(col < bssub[:, None], rows, 0)
+    if stage == "rows":
+        return rows
 
     # ---- per-class reconstruction ----
+    # The kernel classes partition the subframes, so instead of
+    # scattering each class's rows into a zero canvas (TPU scatters
+    # serialize into per-row DMA updates — the dominant glue cost in
+    # the round-3 stage profile, tools/profile_pack2.py), every class
+    # appends its output rows to one stack and a single row GATHER with
+    # the inverse permutation restores subframe order. The permutation
+    # itself is a tiny [Sp]-element scatter.
     from .reconstruct import _fixed_integrate, _lpc_scan
-    signal = jnp.zeros((Sp, Bp), jnp.int32)
+    seg_idx = []
+    seg_out = []
     # High-res (container int32, 17-32 bps) needs the reference's
     # 64-bit LPC accumulator (InterType i64, zflac.zig:314-319): route
     # LPC classes through the hi/lo wide kernel. Everything else in the
@@ -118,14 +136,17 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
     if "const" in classes:
         idx = gather_ci("const")
         vals = jnp.broadcast_to(rows[idx, 0:1], (idx.shape[0], Bp))
-        signal = signal.at[idx].set(vals, mode="drop")
+        seg_idx.append(idx)
+        seg_out.append(vals)
     if "verbatim" in classes:
         idx = gather_ci("verbatim")
-        signal = signal.at[idx].set(rows[idx], mode="drop")
+        seg_idx.append(idx)
+        seg_out.append(rows[idx])
     if "fixed" in classes:
         idx = gather_ci("fixed")
         out_f = _fixed_integrate(rows[idx], order[idx], seeds[idx])
-        signal = signal.at[idx].set(out_f, mode="drop")
+        seg_idx.append(idx)
+        seg_out.append(out_f)
     for name, hist in (("lpc8", 8), ("lpc16", 16), ("lpc32", 32)):
         if name not in classes:
             continue
@@ -159,7 +180,33 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
             # reversed coefficients [n, 32] (slot 31-j = c_{j+1}).
             out_l = _lpc_scan(rows[idx], cfwd[idx][:, ::-1],
                               shift[idx], order[idx])
-        signal = signal.at[idx].set(out_l, mode="drop")
+        seg_idx.append(idx)
+        seg_out.append(out_l)
+
+    if combine == "gather":
+        # Inverse permutation: row r of the class stack belongs at
+        # subframe all_idx[r] (padding entries carry the OOB sentinel
+        # Sp and land in the discarded slot). Padded subframes (no
+        # class) keep the appended zero row.
+        all_idx = jnp.concatenate(seg_idx)
+        nseg = all_idx.shape[0]
+        pos = jnp.full((Sp + 1,), nseg, jnp.int32)
+        pos = pos.at[all_idx].set(
+            jnp.arange(nseg, dtype=jnp.int32), mode="drop")
+        stack = jnp.concatenate(
+            seg_out + [jnp.zeros((1, Bp), jnp.int32)], axis=0)
+        signal = stack[pos[:Sp]]
+        # Materialize the gathered canvas once: without the barrier XLA
+        # fuses (= re-executes) the row gather into every downstream
+        # consumer (decorrelation reads the canvas 4-5 times), which
+        # measured 9.6 ms of tail vs ~0.1 (tools/profile_pack2.py).
+        signal = jax.lax.optimization_barrier(signal)
+    else:
+        signal = jnp.zeros((Sp, Bp), jnp.int32)
+        for idx, out_c in zip(seg_idx, seg_out):
+            signal = signal.at[idx].set(out_c, mode="drop")
+    if stage == "signal":
+        return signal
 
     # Wasted-bits shift (zflac.zig:447,459,495-496,538-539).
     signal = jnp.left_shift(signal, wasted[:, None])
