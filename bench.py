@@ -22,7 +22,7 @@ tunnel's round-trip floor (tools/bench_tpu.py) — 0.0 when no TPU is
 attached or the measurement fails.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"engine", "tpu_chip_msps"}.
+"engine", "tpu_chip_msps", "tpu_chip_msps_24"}.
 """
 
 import json
@@ -93,24 +93,34 @@ def best_times_aba(fn_a, fn_b, reps=REPS):
     return float(np.min(ta)), float(np.min(tb))
 
 
-def tpu_chip_msps(data: bytes) -> float:
-    """Amortized on-chip pack2 throughput (tools/bench_tpu.py), 0.0
-    when no TPU is attached or the measurement fails."""
+def tpu_chip_msps(data: bytes) -> tuple:
+    """Amortized on-chip pack2 throughput for the 16-bit stream and the
+    24-bit hi/lo wide path (tools/bench_tpu.py), (0.0, 0.0) when no TPU
+    is attached or the measurement fails. Both widths are per-round
+    artifacts so a regression in either kernel family (rice16/lpc2 or
+    lpc2w) is caught by BENCH_r{N}, not only by manual runs."""
     try:
         import jax
         if jax.devices()[0].platform != "tpu":
-            return 0.0
+            return 0.0, 0.0
         import importlib.util
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "tools", "bench_tpu.py")
         spec = importlib.util.spec_from_file_location("bench_tpu", path)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        res = mod.bench_stream(16, STREAM_SAMPLES, 8, data=data)
-        return float(res["pack2_msps"])
+        res16 = mod.bench_stream(16, STREAM_SAMPLES, 8, data=data)
+        msps16 = float(res16["pack2_msps"])
     except Exception as e:  # tunnel flakiness must not sink the bench
         print(f"tpu_chip_msps unavailable: {e!r}", file=sys.stderr)
-        return 0.0
+        return 0.0, 0.0
+    try:
+        res24 = mod.bench_stream(24, STREAM_SAMPLES // 2, 8)
+        msps24 = float(res24["pack2_msps"])
+    except Exception as e:
+        print(f"tpu_chip_msps_24 unavailable: {e!r}", file=sys.stderr)
+        msps24 = 0.0
+    return msps16, msps24
 
 
 def main():
@@ -148,13 +158,15 @@ def main():
         engine_msps = total / t_engine / 1e6
         vs = 0.0
 
+    chip16, chip24 = tpu_chip_msps(data)
     print(json.dumps({
         "metric": "decode_throughput",
         "value": round(engine_msps, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(vs, 3),
         "engine": r.stats.get("engine", "unknown"),
-        "tpu_chip_msps": round(tpu_chip_msps(data), 1),
+        "tpu_chip_msps": round(chip16, 1),
+        "tpu_chip_msps_24": round(chip24, 1),
     }))
     return 0
 

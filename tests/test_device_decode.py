@@ -1,6 +1,6 @@
 """Device-resident decode (pack2 fast path, runtime/device.py):
 differential tests against the native engine across the corpus, plus
-kernel-level checks for the v2 Rice bit-unpack (G2=16 groups, windows
+kernel-level checks for the v2 Rice bit-unpack (G2=8 groups, windows
 emitted by the C++ scan) and the transposed-form LPC kernel.
 
 The CPU suite exercises the shared jnp math (`use_pallas=False` path is
@@ -10,6 +10,9 @@ real hardware."""
 
 import numpy as np
 import pytest
+
+import jax
+import jax.numpy as jnp
 
 import zflac_tpu
 from zflac_tpu.errors import InvalidChecksum
@@ -164,3 +167,70 @@ def test_rice16_meta_packing_sanity(corpus):
     assert (((meta[valid] >> 16) & 31) <= 32).all()
     # W adaptively 8 or 16
     assert ck.W in (8, 16)
+
+
+@pytest.mark.parametrize("name", ["constant heavy", "lpc order 8",
+                                  "variable blocksize",
+                                  "stereo mid_side",
+                                  "escaped partitions"])
+def test_combine_gather_matches_scatter(name, corpus):
+    """The combine='gather' class-combine strategy (one row gather by
+    the inverse permutation) is bit-identical to combine='scatter'
+    (per-class .at[idx].set), including streams with padded subframes
+    (force_fp > F) and mixed subframe classes."""
+    import functools
+    from zflac_tpu import format as fmt
+    from zflac_tpu.bitio import BitReader
+    from zflac_tpu.oracle import parse_metadata
+    from zflac_tpu.runtime.device import _reconstruct_pack2_core
+
+    data, *_ = corpus[name]
+    br = BitReader(data)
+    info = parse_metadata(br)
+    # force_fp pads the frame axis so the padded-subframe rows (no
+    # class) exercise the gather path's sentinel handling.
+    ck = pack2_range(data, br.pos // 8, len(data), info,
+                     max_frames=64, force_fp=64)
+    if ck is None:
+        pytest.skip("pack2 declined")
+    core = functools.partial(
+        _reconstruct_pack2_core, spec=ck.spec_key(), num_channels=ck.C,
+        container_bits=fmt.container_bits(ck.bits_per_sample),
+        do_decorrelate=ck.do_decorrelate, use_pallas=False)
+    buf = jnp.asarray(ck.device_buf)
+    a = np.asarray(jax.jit(lambda b: core(b, combine="scatter"))(buf))
+    b = np.asarray(jax.jit(lambda b: core(b, combine="gather"))(buf))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_scatter_rows_sentinel_geometry():
+    """Regression: XLA:CPU wraps OOB scatter indices to row 0 at this
+    geometry ([2, 256] canvas, 128 update rows) instead of dropping
+    them under mode="drop" — which corrupted single-frame pack2 chunks
+    (channel 1 decoded into channel 0). scatter_rows must discard the
+    sentinel updates exactly."""
+    from zflac_tpu.runtime.scatter import scatter_flat, scatter_rows
+
+    canvas = jnp.zeros((2, 256), jnp.int32)
+    idx = jnp.asarray([0, 1] + [2] * 126)  # sentinel Sp == 2
+    upd = jnp.tile(jnp.arange(128, dtype=jnp.int32)[:, None] + 100,
+                   (1, 256))
+    out = np.asarray(jax.jit(scatter_rows)(canvas, idx, upd))
+    assert out[0, 0] == 100 and out[1, 0] == 101
+    flat = jnp.zeros((512,), jnp.int32)
+    fidx = jnp.asarray([3, 512, 512, 512], jnp.int32)
+    fval = jnp.asarray([7, 8, 9, 10], jnp.int32)
+    fout = np.asarray(jax.jit(scatter_flat)(flat, fidx, fval))
+    assert fout[3] == 7 and fout[0] == 0 and fout.sum() == 7
+
+
+def test_device_decode_single_frame_chunks(corpus):
+    """Single-frame chunking (chunk_frames=1) over a stream whose
+    frames mix channel modes — the geometry that exposed the scatter
+    sentinel wrap."""
+    data, *_ = corpus["blocksize 192"]
+    ref = zflac_tpu.decode(data, engine="native")
+    dd = zflac_tpu.decode_to_device(data, chunk_frames=1)
+    assert dd is not None
+    got = dd.to_host()
+    np.testing.assert_array_equal(got.interleaved, ref.interleaved)

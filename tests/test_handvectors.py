@@ -78,22 +78,27 @@ def crc16(data):
 
 
 def utf8_number(v):
-    """UTF-8-style coded number (frame/sample number)."""
+    """UTF-8-style coded number (frame/sample number), up to the
+    36-bit sample-number domain of variable-blocking streams
+    (RFC 9639 §9.1.5; reference parse: zflac.zig:203-214). Encodings
+    longer than the minimal one are not produced (overlong forms are
+    invalid)."""
     if v < 0x80:
         return bytes([v])
-    if v < 0x800:
-        return bytes([0xC0 | (v >> 6), 0x80 | (v & 0x3F)])
-    if v < 0x10000:
-        return bytes([0xE0 | (v >> 12), 0x80 | ((v >> 6) & 0x3F),
-                      0x80 | (v & 0x3F)])
-    raise AssertionError("test streams stay below 2^16 frames")
+    for k in range(2, 8):           # k total bytes, 2..7
+        if v < (1 << (6 * (k - 1) + (7 - k))) or k == 7:
+            first = ((0xFF << (8 - k)) & 0xFF) | (v >> (6 * (k - 1)))
+            rest = [0x80 | ((v >> (6 * i)) & 0x3F)
+                    for i in range(k - 2, -1, -1)]
+            return bytes([first] + rest)
+    raise AssertionError("coded numbers are at most 36 bits")
 
 
-def streaminfo(block, sr, channels, bps, total, md5):
+def streaminfo(block, sr, channels, bps, total, md5, min_block=None):
     out = bytearray(b"fLaC")
     out += bytes([0x80, 0, 0, 34])  # last=1, type=0 (STREAMINFO), len 34
     bw = BW()
-    bw.w(block, 16)          # min block size
+    bw.w(block if min_block is None else min_block, 16)  # min block size
     bw.w(block, 16)          # max block size
     bw.w(0, 24)              # min frame size (unknown)
     bw.w(0, 24)              # max frame size (unknown)
@@ -130,11 +135,14 @@ def w_subframe_header(bw, type_code, wasted):
 
 
 def build_frame(frame_no, bs_code, sr_code, ch_code, bps_code,
-                subframes, bs_extra=None, sr_extra=None):
+                subframes, bs_extra=None, sr_extra=None,
+                variable=False):
     """subframes: list of callables(bw). bs_extra/sr_extra: (value,
-    nbits) written after the coded number (RFC 9639 §9.1)."""
+    nbits) written after the coded number (RFC 9639 §9.1). With
+    variable=True the blocking-strategy bit is 1 and frame_no is a
+    SAMPLE number (36-bit domain)."""
     bw = BW()
-    bw.w(0xFFF8, 16)  # sync + mandatory 0 + fixed blocking strategy
+    bw.w(0xFFF9 if variable else 0xFFF8, 16)  # sync + strategy bit
     bw.w(bs_code, 4)
     bw.w(sr_code, 4)
     bw.w(ch_code, 4)
@@ -203,11 +211,12 @@ CONTAINER = {8: np.int8, 12: np.int16, 16: np.int16,
 NORM_SHIFT = {8: 0, 12: 4, 16: 0, 20: 12, 24: 8, 32: 0}
 
 
-def finish(name, frames_bytes, block, sr20, channels, bps, pre_norm):
+def finish(name, frames_bytes, block, sr20, channels, bps, pre_norm,
+           min_block=None):
     pre = np.asarray(pre_norm)
     md5 = md5_of(pre, bps)
     data = streaminfo(block, sr20, channels, bps, len(pre) // channels,
-                      md5) + b"".join(frames_bytes)
+                      md5, min_block=min_block) + b"".join(frames_bytes)
     dtype = CONTAINER[bps]
     expected = (pre.astype(np.int64) << NORM_SHIFT[bps]).astype(dtype)
     return name, data, expected
@@ -479,10 +488,102 @@ def v_bs192_fixed4_20bit():
                   expect)
 
 
+def v_varblock_36bit():
+    # Variable blocking strategy: the coded number is a SAMPLE number
+    # in the 36-bit domain (zflac.zig:203-214 parses up to 7 coded
+    # bytes). Three frames of different block sizes whose sample
+    # numbers exercise the 6-byte and 7-byte encodings — decoders must
+    # parse (and may ignore) them, like the reference. Frame sizes 16,
+    # 8, 4 (bs codes 6 with stored-1 values).
+    sizes = [16, 8, 4]
+    # Sample numbers: a 7-byte (>= 2^31) and 6-byte encodings. The
+    # reference never validates continuity, and neither do we.
+    numbers = [(1 << 35) | 12345, (1 << 35) | 12345 + 16, (1 << 30) + 7]
+    assert len(utf8_number(numbers[0])) == 7
+    assert len(utf8_number(numbers[2])) == 6
+    frames = []
+    expect = []
+    base = 0
+    for bs, num in zip(sizes, numbers):
+        vals = [((base + t) * 37 % 4001) - 2000 for t in range(bs)]
+        base += bs
+
+        def sf(bw, vals=vals):
+            w_subframe_header(bw, 1, 0)    # verbatim
+            for v in vals:
+                bw.w(v, 16)
+
+        frames.append(build_frame(num, 6, 9, 0, 4, [sf],
+                                  bs_extra=(bs - 1, 8), variable=True))
+        expect += vals
+    return finish("varblock 36bit", frames, 16, 44100, 1, 16, expect,
+                  min_block=4)
+
+
+def v_sr_uncommon_codes():
+    # Uncommon sample-rate headers: code 12 (8-bit kHz), code 13
+    # (16-bit Hz), code 14 (16-bit Hz*10) — zflac.zig:367-374. Three
+    # frames, all resolving to the STREAMINFO rate 32000 Hz three
+    # different ways: 32 kHz (code 12), 32000 Hz (code 13), 3200x10
+    # (code 14). An engine that mis-parses the extra field desyncs the
+    # bitstream and fails loudly. (The reference stores the code-12
+    # byte as raw kHz without the x1000 — zflac.zig:369 — which would
+    # flag this stream InconsistentParameters; this repo resolves the
+    # RFC 9639 semantics, a documented divergence.)
+    vals_per_frame = [[100 * i + t for t in range(8)] for i in range(3)]
+    headers = [(12, (32, 8)), (13, (32000, 16)), (14, (3200, 16))]
+    frames = []
+    expect = []
+    for i, ((code, extra), vals) in enumerate(zip(headers,
+                                                  vals_per_frame)):
+        def sf(bw, vals=vals):
+            w_subframe_header(bw, 1, 0)
+            for v in vals:
+                bw.w(v, 16)
+
+        frames.append(build_frame(i, 6, code, 0, 4, [sf],
+                                  bs_extra=(7, 8), sr_extra=extra))
+        expect += vals
+    return finish("sr uncommon codes", frames, 8, 32000, 1, 16, expect)
+
+
+def v_lpc_order32():
+    # Hand-computed LPC at the maximum order 32 (type code 63,
+    # zflac.zig:499-541): 12-bit precision coefficients, shift 10,
+    # warm-ups spanning the full 16-bit range. The order-32 dot product
+    # is the reference's SIMD kernel path (linear_predictor,
+    # zflac.zig:604-612).
+    warm = [((t * 131) % 3001) - 1500 for t in range(32)]
+    coeffs = [((7 * j + 3) % 129) - 64 for j in range(32)]  # c1..c32
+    res = [1, -2, 3, -5, 8, -13, 21, -34, 0, 2, -2, 4, -4, 6, -6, 7,
+           -7, 9, -9, 11, -11, 13, -13, 15, -15, 17, -17, 19, -19, 0,
+           1, -1]
+
+    def sf(bw):
+        w_subframe_header(bw, 32 + 31, 0)  # LPC order 32
+        for w in warm:
+            bw.w(w, 16)
+        bw.w(11, 4)            # precision 12
+        bw.w(10, 5)            # shift 10
+        for c in coeffs:
+            bw.w(c, 12)
+        bw.w(0, 2)
+        bw.w(0, 4)             # po 0
+        bw.w(3, 4)             # k = 3
+        for r in res:
+            w_rice(bw, r, 3)
+
+    frame = build_frame(0, 6, 9, 0, 4, [sf], bs_extra=(63, 8))
+    expect = lpc_expect(warm, coeffs, 10, res)
+    assert len(expect) == 64
+    return finish("lpc order32", [frame], 64, 44100, 1, 16, expect)
+
+
 VECTORS = [v_po0_fixed1, v_escape_mixed, v_escape_zero, v_rice2_k16,
            v_wasted_side, v_midside_extreme, v_po15, v_lpc_edges,
            v_32bit_side, v_coded_multibyte, v_bps12,
-           v_bs192_fixed4_20bit]
+           v_bs192_fixed4_20bit, v_varblock_36bit, v_sr_uncommon_codes,
+           v_lpc_order32]
 
 
 @pytest.fixture(scope="module")

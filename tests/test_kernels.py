@@ -88,3 +88,87 @@ def test_fixed_integrate_matches_scalar():
                                       jnp.array(orders),
                                       jnp.array(seeds)))
     np.testing.assert_array_equal(out.astype(np.int64), expected)
+
+
+def test_rice16_kernel_interpret_matches_math():
+    """The rice16 Pallas kernel BODY in interpret mode == the shared
+    jnp math on a real packed chunk, so CPU-only CI executes the actual
+    kernel code path (the reference's debug+release dual test pass,
+    /root/reference/.github/workflows/tests.yml)."""
+    import jax
+    import jax.numpy as jnp
+    from zflac_tpu.bitio import BitReader
+    from zflac_tpu.encoder import EncoderConfig, encode
+    from zflac_tpu.index.native_indexer import (native_available,
+                                                pack2_range)
+    from zflac_tpu.oracle import parse_metadata
+    from zflac_tpu.ops.rice16 import (_unpack16_math,
+                                      rice16_unpack_inline)
+    from zflac_tpu.testing import correlated_stereo
+
+    if not native_available():
+        pytest.skip("native indexer unavailable")
+    pcm = correlated_stereo(16384, 16, seed=11)
+    data = encode(pcm, 44100, 16, EncoderConfig(block_size=2048))
+    br = BitReader(data)
+    info = parse_metadata(br)
+    ck = pack2_range(data, br.pos // 8, len(data), info)
+    assert ck is not None
+    W, NG = ck.W, ck.NGp
+    win = jnp.asarray(
+        ck.buf[ck.off["win"]:ck.off["win"] + W * NG]
+        .reshape(W, NG).view(np.uint32))
+    meta = jnp.asarray(
+        ck.buf[ck.off["meta"]:ck.off["meta"] + NG].reshape(1, NG))
+    ref = np.asarray(jax.jit(_unpack16_math)(win, meta))
+    got = np.asarray(rice16_unpack_inline(win, meta, lanes=NG,
+                                          interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def _numpy_lpc64(rows, cf, shift, order):
+    """Scalar reference of the 64-bit-accumulator LPC recurrence
+    (InterType i64, zflac.zig:314-319,526-533)."""
+    S, B = rows.shape
+    out = rows.astype(np.int64).copy()
+    for s in range(S):
+        o = int(order[s])
+        for t in range(o, B):
+            acc = 0
+            for j in range(o):
+                acc += int(cf[s, j]) * int(out[s, t - 1 - j])
+            out[s, t] = int(rows[s, t]) + (acc >> int(shift[s]))
+    return out
+
+
+def test_lpc2w_kernel_interpret_matches_numpy64():
+    """The wide (hi/lo dual-int32) Pallas LPC kernel BODY in interpret
+    mode == a scalar int64 reference and the lax.scan twin, on values
+    whose dot products exceed 32 bits (the high-res domain)."""
+    from zflac_tpu.ops.lpc2w import (lpc2w_reconstruct_inline,
+                                     lpc2w_scan)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    S, B, hist = 128, 64, 8
+    order = rng.integers(1, hist + 1, S).astype(np.int32)
+    shift = np.full(S, 14, np.int32)
+    cf = np.zeros((S, hist), np.int32)
+    rows = np.zeros((S, B), np.int32)
+    for s in range(S):
+        o = order[s]
+        # sum|c| <= 2^14 = 2^shift keeps the recurrence contractive so
+        # true samples stay in int32 while products reach ~2^40.
+        c = rng.integers(-2048, 2049, o)
+        cf[s, :o] = c
+        rows[s, :o] = rng.integers(-2**29, 2**29, o)      # warm-ups
+        rows[s, o:] = rng.integers(-1024, 1025, B - o)     # residuals
+    ref = _numpy_lpc64(rows, cf, shift, order)
+    assert np.abs(ref).max() < 2**31  # in the kernel's exactness domain
+    args = (jnp.asarray(rows.T.copy()), jnp.asarray(cf.T.copy()),
+            jnp.asarray(shift[None, :]), jnp.asarray(order[None, :]))
+    got_scan = np.asarray(lpc2w_scan(*args, hist=hist)).T
+    np.testing.assert_array_equal(got_scan, ref)
+    got_kern = np.asarray(lpc2w_reconstruct_inline(
+        *args, lanes=S, hist=hist, unroll=8, interpret=True)).T
+    np.testing.assert_array_equal(got_kern, ref)

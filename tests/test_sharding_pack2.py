@@ -25,18 +25,21 @@ def _cpu_mesh():
     return make_mesh(jax.devices("cpu"))
 
 
-_CASES = ["lpc order 8", "fixed order 2", "mid-side", "left-side",
-          "wasted bits", "blocksize 1000", "blocksize 16",
-          "escape partitions", "lpc order 32"]
+# Exact corpus keys (zflac_tpu/testing.py). A name miss is a FAILURE,
+# not a skip: round 3 shipped with 3 of 9 cases silently skipping on a
+# substring mismatch, leaving the sharded path untested on stereo
+# decorrelation and escaped partitions.
+_CASES = ["lpc order 8", "fixed order 2", "stereo mid_side",
+          "stereo left_side", "stereo side_right", "wasted bits",
+          "blocksize 1000", "blocksize 16", "escaped partitions",
+          "lpc order 32", "hi-res 24/96", "surround 8ch 24bit",
+          "partition order 8", "variable blocksize"]
 
 
 @pytest.mark.parametrize("name", _CASES)
 def test_sharded_pack2_matches_native(name, corpus):
-    if name not in corpus:
-        candidates = [k for k in corpus if name in k]
-        if not candidates:
-            pytest.skip(f"no corpus case matching {name!r}")
-        name = candidates[0]
+    assert name in corpus, (
+        f"corpus case {name!r} missing — fix the name, don't skip")
     data, pcm, sr, bps = corpus[name]
     mesh = _cpu_mesh()
     ref = zflac_tpu.decode(data, engine="native")

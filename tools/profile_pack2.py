@@ -70,14 +70,17 @@ def main():
 
     res = {"device": str(jax.devices()[0]), "bps": bps,
            "true_samples": int(true_samples), "stages_ms": {}}
-    prev = 0.0
     jobs = [(s, "scatter") for s in ("unpack", "rows", "signal", "full")]
     if args.ab_combine:
         # Back-to-back A/B of the class-combine strategies under the
         # same device conditions (the tunneled chip's run-to-run
-        # variance swamps cross-process comparisons).
-        jobs = [("full", "scatter"), ("full", "gather"),
-                ("signal", "scatter"), ("signal", "gather")]
+        # variance swamps cross-process comparisons). Deltas only make
+        # sense within one combine strategy, so jobs are grouped by
+        # strategy and `prev` resets per group.
+        jobs = [("signal", "scatter"), ("full", "scatter"),
+                ("signal", "gather"), ("full", "gather")]
+    prev = {}
+    full_ms = None
     for stage, combine in jobs:
         core = functools.partial(
             _reconstruct_pack2_core, spec=ck.spec_key(),
@@ -92,10 +95,12 @@ def main():
         key = stage if not args.ab_combine else f"{stage}/{combine}"
         res["stages_ms"][key] = {
             "cumulative": round(ms, 3),
-            "delta": round(ms - prev, 3),
+            "delta": round(ms - prev.get(combine, 0.0), 3),
         }
-        prev = ms
-    res["msps_full"] = round(true_samples / (prev / 1e3) / 1e6, 1)
+        prev[combine] = ms
+        if stage == "full" and full_ms is None:
+            full_ms = ms
+    res["msps_full"] = round(true_samples / (full_ms / 1e3) / 1e6, 1)
     print(json.dumps(res, indent=2))
 
 

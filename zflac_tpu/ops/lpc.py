@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .vma import out_struct
+
 LANES = 128
 HIST = 32
 
@@ -108,7 +110,8 @@ def lpc_reconstruct_inline(rows_t, coeffs_t, shift, order, *,
         ],
         out_specs=pl.BlockSpec((B, lanes), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S), jnp.int32),
+        out_shape=out_struct((B, S), jnp.int32, rows_t, coeffs_t,
+                             shift, order),
         interpret=interpret,
     )(rows_t, coeffs_t, shift, order)
 

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .vma import out_struct
+
 
 def _lpc2_kernel(rows_ref, cfwd_ref, shift_ref, order_ref, out_ref, *,
                  hist: int, unroll: int):
@@ -97,7 +99,8 @@ def lpc2_reconstruct_inline(rows_t, cfwd_t, shift, order, *,
         ],
         out_specs=pl.BlockSpec((B, lanes), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S), jnp.int32),
+        out_shape=out_struct((B, S), jnp.int32, rows_t, cfwd_t,
+                             shift, order),
         interpret=interpret,
     )(rows_t, cfwd_t, shift, order)
 

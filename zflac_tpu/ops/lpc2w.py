@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .vma import out_struct
+
 
 def _u32(x):
     return jax.lax.bitcast_convert_type(x, jnp.uint32)
@@ -146,7 +148,8 @@ def lpc2w_reconstruct_inline(rows_t, cfwd_t, shift, order, *,
         ],
         out_specs=pl.BlockSpec((B, lanes), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S), jnp.int32),
+        out_shape=out_struct((B, S), jnp.int32, rows_t, cfwd_t,
+                             shift, order),
         interpret=interpret,
     )(rows_t, cfwd_t, shift, order)
 

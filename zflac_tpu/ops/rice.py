@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .vma import out_struct
+
 G = 8           # residuals per group (indexer kGroupG)
 W = 12          # window words per group (kGroupWindowWords)
 K_ESCAPE = 0xFE
@@ -169,7 +171,8 @@ def rice_unpack_inline(windows, pos0, k, depth, skip, *,
         ],
         out_specs=pl.BlockSpec((G, lanes), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, NG), jnp.int32),
+        out_shape=out_struct((G, NG), jnp.int32, windows, pos0,
+                             k, depth, skip),
         interpret=interpret,
     )(windows, pos0, k, depth, skip)
 

@@ -5,14 +5,17 @@ walks the serial bitstream once and records group offsets; extraction
 is then data-parallel over groups — SURVEY.md §7 fact 4), but with the
 geometry tuned from profiling the v1 kernel on TPU v5e:
 
-  * G2 = 16 residuals per group (v1: 8) — halves per-group metadata
-    and lane-management overhead;
+  * G2 = 8 residuals per group (round 3 used 16, but a 16-residual
+    span rarely fits an 8-word window on real streams, forcing W=16
+    and doubling the per-residual select-chain cost; at G2=8 the same
+    4 bytes/residual upload keeps W=8 and halves the fetch work);
   * the window is emitted by the C++ scan directly into the packed
     device buffer (pack2_helpers.inc), so there is NO device-side
     window gather (the v1 skim path's dominant cost: an XLA gather of
     [W, NG] from the word table);
-  * W = 8 words per group (adaptively 16 for high-k streams), chosen by
-    the scan from the measured spans — 2 bytes of upload per residual;
+  * W = 8 words per group (adaptively 16 for extreme-k streams),
+    chosen by the scan from the measured spans — 4 bytes of upload per
+    residual;
   * ONE 64-bit extract per residual: the host envelope guarantees
     q <= 40 and q + 1 + k <= 64, so the quotient, the terminator, and
     the remainder all live in the 64 bits at the residual's start
@@ -36,7 +39,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-G2 = 16
+from .vma import out_struct
+
+G2 = 8  # must match kG2 in index/native/pack2_helpers.inc
 K2_ESCAPE = 62
 K2_INVALID = 63
 
@@ -156,7 +161,7 @@ def rice16_unpack_inline(windows, meta, *, lanes: int = 2048,
         ],
         out_specs=pl.BlockSpec((G2, lanes), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G2, NG), jnp.int32),
+        out_shape=out_struct((G2, NG), jnp.int32, windows, meta),
         interpret=interpret,
     )(windows, meta)
 

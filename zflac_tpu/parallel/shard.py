@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import format as fmt
 from ..plan import StreamPlan
+from ..runtime.scatter import scatter_rows
 from ..utils.log import get_logger
 
 _log_shard = get_logger("shard")
@@ -53,21 +54,21 @@ def _local_reconstruct(rows, kind, order, wasted, shift, coeffs, seeds,
     signal = jnp.zeros((S, B), dtype=dtype)
 
     vals = jnp.broadcast_to(rows[idx_const, 0:1], (idx_const.shape[0], B))
-    signal = signal.at[idx_const].set(vals, mode="drop")
-    signal = signal.at[idx_verb].set(rows[idx_verb], mode="drop")
+    signal = scatter_rows(signal, idx_const, vals)
+    signal = scatter_rows(signal, idx_verb, rows[idx_verb])
 
     out = _fixed_integrate(rows[idx_fixed], order[idx_fixed],
                            seeds[idx_fixed])
-    signal = signal.at[idx_fixed].set(out, mode="drop")
+    signal = scatter_rows(signal, idx_fixed, out)
 
     out = _lpc_scan(rows[idx_lpc], coeffs[idx_lpc], shift[idx_lpc],
                     order[idx_lpc])
-    signal = signal.at[idx_lpc].set(out, mode="drop")
+    signal = scatter_rows(signal, idx_lpc, out)
 
     out = _lpc_scan(rows[idx_lpc_wide].astype(jnp.int64),
                     coeffs[idx_lpc_wide], shift[idx_lpc_wide],
                     order[idx_lpc_wide])
-    signal = signal.at[idx_lpc_wide].set(out.astype(dtype), mode="drop")
+    signal = scatter_rows(signal, idx_lpc_wide, out.astype(dtype))
 
     signal = jnp.left_shift(signal, wasted.astype(dtype)[:, None])
 

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from .. import format as fmt
 from ..errors import InconsistentParameters, InvalidChecksum
 from ..result import DecodedFLAC, container_dtype
+from .scatter import scatter_flat, scatter_rows
 
 
 def _on_tpu() -> bool:
@@ -59,7 +60,7 @@ def _sect(buf, off: int, n: int):
 def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
                             container_bits: int, do_decorrelate: bool,
                             use_pallas: bool, stage: str = "full",
-                            combine: str = "scatter"):
+                            combine: str = "gather"):
     """One packed pack2 chunk -> container-width PCM [Fp, Bp, C].
     Not jitted: traced under reconstruct_pack2's jit or inside a
     shard_map body (parallel/shard.py).
@@ -106,20 +107,22 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
     col = jax.lax.broadcasted_iota(jnp.int32, (Sp, Bp), 1)
     warm_p = jnp.pad(warm, ((0, 0), (0, Bp - 32)))
     rows = jnp.where(col < warmlen[:, None], warm_p, rows)
-    rows = rows.reshape(-1).at[pidx].set(pval, mode="drop")
+    rows = scatter_flat(rows.reshape(-1), pidx, pval)
     rows = rows.reshape(Sp, Bp)
     rows = jnp.where(col < bssub[:, None], rows, 0)
     if stage == "rows":
         return rows
 
     # ---- per-class reconstruction ----
-    # The kernel classes partition the subframes, so instead of
-    # scattering each class's rows into a zero canvas (TPU scatters
-    # serialize into per-row DMA updates — the dominant glue cost in
-    # the round-3 stage profile, tools/profile_pack2.py), every class
-    # appends its output rows to one stack and a single row GATHER with
-    # the inverse permutation restores subframe order. The permutation
-    # itself is a tiny [Sp]-element scatter.
+    # The kernel classes partition the subframes. Two combine
+    # strategies exist for reassembling the per-class outputs:
+    # combine='gather' (production default; ~1.3 ms faster end-to-end
+    # on v5e per tools/profile_pack2.py --ab-combine) appends every
+    # class's output rows to one stack and restores subframe order with
+    # a single row gather by the inverse permutation; combine='scatter'
+    # scatters each class's rows into a zero canvas (the A/B
+    # alternative). Parity pinned by
+    # tests/test_device_decode.py::test_combine_gather_matches_scatter.
     from .reconstruct import _fixed_integrate, _lpc_scan
     seg_idx = []
     seg_out = []
@@ -191,8 +194,9 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
         all_idx = jnp.concatenate(seg_idx)
         nseg = all_idx.shape[0]
         pos = jnp.full((Sp + 1,), nseg, jnp.int32)
-        pos = pos.at[all_idx].set(
-            jnp.arange(nseg, dtype=jnp.int32), mode="drop")
+        pos = pos.at[jnp.minimum(all_idx, Sp)].set(
+            jnp.arange(nseg, dtype=jnp.int32),
+            mode="promise_in_bounds")
         stack = jnp.concatenate(
             seg_out + [jnp.zeros((1, Bp), jnp.int32)], axis=0)
         signal = stack[pos[:Sp]]
@@ -204,7 +208,7 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
     else:
         signal = jnp.zeros((Sp, Bp), jnp.int32)
         for idx, out_c in zip(seg_idx, seg_out):
-            signal = signal.at[idx].set(out_c, mode="drop")
+            signal = scatter_rows(signal, idx, out_c)
     if stage == "signal":
         return signal
 
@@ -225,8 +229,22 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
             jnp.where(mode == fmt.CH_MID_SIDE, (mid - c1) >> 1, c1))
         frames = jnp.stack([new0, new1], axis=1)
 
-    pcm = frames.transpose(0, 2, 1)
     cdtype = {8: jnp.int8, 16: jnp.int16, 32: jnp.int32}[container_bits]
+    if num_channels == 2 and container_bits in (8, 16):
+        # Stereo interleave without a transpose: the [F, C, B] ->
+        # [F, B, C] relayout has minor dimension C=2, which XLA lowers
+        # as an interleaving copy (measured ~1.7 ms of the 16-bit tail
+        # on v5e). Packing both container-width samples into one int32
+        # lane and bitcasting to the narrower dtype appends the C axis
+        # in memory order (little-endian low half = channel 0) as a
+        # pure elementwise op.
+        c0, c1 = frames[:, 0], frames[:, 1]
+        if container_bits == 16:
+            packed = (c0 & 0xFFFF) | (c1 << 16)
+            return jax.lax.bitcast_convert_type(packed, jnp.int16)
+        packed = ((c0 & 0xFF) | (c1 << 8)).astype(jnp.int16)
+        return jax.lax.bitcast_convert_type(packed, jnp.int8)
+    pcm = frames.transpose(0, 2, 1)
     return pcm.astype(cdtype)
 
 

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import format as fmt
+from .scatter import scatter_flat, scatter_rows
 
 # Class order is part of the jit signature.
 CLASS_NAMES = ("const", "verbatim", "fixed", "lpc", "lpc_wide")
@@ -99,16 +100,16 @@ def _reconstruct_core(rows, kind, order, wasted, shift, coeffs_rev,
     idx = class_idx.get("const")
     if idx is not None:
         vals = jnp.broadcast_to(rows[idx, 0:1], (idx.shape[0], B))
-        signal = signal.at[idx].set(vals, mode="drop")
+        signal = scatter_rows(signal, idx, vals)
 
     idx = class_idx.get("verbatim")
     if idx is not None:
-        signal = signal.at[idx].set(rows[idx], mode="drop")
+        signal = scatter_rows(signal, idx, rows[idx])
 
     idx = class_idx.get("fixed")
     if idx is not None:
         out = _fixed_integrate(rows[idx], order[idx], fixed_seeds[idx])
-        signal = signal.at[idx].set(out, mode="drop")
+        signal = scatter_rows(signal, idx, out)
 
     idx = class_idx.get("lpc")
     if idx is not None:
@@ -118,7 +119,7 @@ def _reconstruct_core(rows, kind, order, wasted, shift, coeffs_rev,
         else:
             out = _lpc_scan(rows[idx], coeffs_rev[idx], shift[idx],
                             order[idx])
-        signal = signal.at[idx].set(out, mode="drop")
+        signal = scatter_rows(signal, idx, out)
 
     idx = class_idx.get("lpc_wide")
     if idx is not None:
@@ -127,7 +128,7 @@ def _reconstruct_core(rows, kind, order, wasted, shift, coeffs_rev,
         # zflac.zig:314-319).
         out = _lpc_scan(rows[idx].astype(jnp.int64),
                         coeffs_rev[idx], shift[idx], order[idx])
-        signal = signal.at[idx].set(out.astype(dtype), mode="drop")
+        signal = scatter_rows(signal, idx, out.astype(dtype))
 
     # Wasted-bits shift (zflac.zig:447,459,495-496,538-539).
     signal = jnp.left_shift(signal, wasted.astype(dtype)[:, None])
@@ -281,8 +282,8 @@ def reconstruct_skim_packed(buf, *, spec, class_names, num_channels: int,
     col = jax.lax.broadcasted_iota(jnp.int32, (S, B), 1)
     warm = jnp.pad(a["warmups"], ((0, 0), (0, B - 32)))
     rows = jnp.where(col < a["warm_len"][:, None], warm, rows)
-    rows = rows.reshape(-1).at[a["patch_idx"]].set(
-        a["patch_val"], mode="drop")
+    rows = scatter_flat(rows.reshape(-1), a["patch_idx"],
+                        a["patch_val"])
     rows = rows.reshape(S, B)
     rows = jnp.where(col < bs_sub[:, None], rows, 0)
 
@@ -344,7 +345,7 @@ def _device_unpack_core(windows, pos0, gk, gdepth, gskip, warmups,
     col = jax.lax.broadcasted_iota(jnp.int32, (S, B), 1)
     warm = jnp.pad(warmups, ((0, 0), (0, B - warmups.shape[1])))
     rows = jnp.where(col < order[:, None], warm, rows)
-    rows = rows.reshape(-1).at[patch_idx].set(patch_val, mode="drop")
+    rows = scatter_flat(rows.reshape(-1), patch_idx, patch_val)
     rows = rows.reshape(S, B)
     rows = jnp.where(col < bs_sub[:, None], rows, 0)
 
