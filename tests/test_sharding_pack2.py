@@ -33,7 +33,9 @@ _CASES = ["lpc order 8", "fixed order 2", "stereo mid_side",
           "stereo left_side", "stereo side_right", "wasted bits",
           "blocksize 1000", "blocksize 16", "escaped partitions",
           "lpc order 32", "hi-res 24/96", "surround 8ch 24bit",
-          "partition order 8", "variable blocksize"]
+          "partition order 8", "variable blocksize",
+          "hi-res 32bit", "hi-res 32bit mid_side",
+          "hi-res 32bit left_side"]
 
 
 @pytest.mark.parametrize("name", _CASES)

@@ -78,22 +78,26 @@ def test_tpu_skim():
     np.testing.assert_array_equal(r.interleaved, ref.interleaved)
 
 
-@pytest.mark.parametrize("bps,ch", [(16, 2), (24, 2), (24, 8), (32, 2)])
-def test_tpu_pack2(bps, ch):
-    """Device-resident pack2 path on hardware: rice16 G16 unpack +
-    lpc2 (int32) / lpc2w (hi/lo wide, 17-32 bps) Pallas kernels,
-    bit-exact vs the native host engine."""
+@pytest.mark.parametrize("bps,ch,mode",
+                         [(16, 2, None), (24, 2, None), (24, 8, None),
+                          (32, 2, "independent"), (32, 2, "mid_side"),
+                          (32, 2, "left_side")])
+def test_tpu_pack2(bps, ch, mode):
+    """Device-resident pack2 path on hardware: rice16 G8 unpack +
+    lpc2 (int32) / lpc2w (hi/lo wide, 17-32 bps) / lpc2w33 (33-bit
+    side-channel pair) Pallas kernels, bit-exact vs the native host
+    engine. The 32-bit mid-side/left-side cases run the wide pair
+    chunks (runtime/wide.py) end to end on the chip."""
     import zflac_tpu
     from zflac_tpu.index.native_indexer import native_available
 
     if not native_available():
         pytest.skip("native indexer unavailable")
     pcm, data = _stream(bps, 4096 if ch == 8 else 8192, ch=ch)
-    if bps == 32:
-        # stereo decorrelation would need 33-bit side samples, which
-        # pack2 declines by design; use independent channels.
-        data = encode(pcm, 48000, 32, EncoderConfig(
-            block_size=1024, stereo_mode="independent"))
+    if mode is not None:
+        pcm = correlated_stereo(8192, bps, seed=1)
+        data = encode(pcm, 48000, bps, EncoderConfig(
+            block_size=1024, stereo_mode=mode))
     with jax.default_device(_tpu()[0]):
         dd = zflac_tpu.decode_to_device(data)
         assert dd is not None, "pack2 declined an admissible stream"

@@ -136,6 +136,10 @@ class _Pack2(ctypes.Structure):
         ("bits_per_sample", ctypes.c_int32),
         ("do_decorrelate", ctypes.c_int32),
         ("variable_blocking", ctypes.c_int32),
+        ("off_warm_hi", ctypes.c_int64),
+        ("off_seeds_hi", ctypes.c_int64),
+        ("off_pval_hi", ctypes.c_int64),
+        ("wide", ctypes.c_int32), ("_pad1", ctypes.c_int32),
     ]
 
 
@@ -167,6 +171,7 @@ class Pack2Chunk:
         self.bits_per_sample = int(p.bits_per_sample)
         self.do_decorrelate = bool(p.do_decorrelate)
         self.variable_blocking = int(p.variable_blocking)
+        self.wide = bool(p.wide)
         # Section offsets (int32 words into buf).
         self.off = {
             "win": int(p.off_win), "meta": int(p.off_meta),
@@ -177,6 +182,12 @@ class Pack2Chunk:
             "bssub": int(p.off_bssub), "chcode": int(p.off_chcode),
             "pidx": int(p.off_pidx), "pval": int(p.off_pval),
         }
+        if self.wide:
+            # 33-bit side-channel chunks: hi-word sections for the
+            # 64-bit pair reconstruction (runtime/wide.py).
+            self.off["warm_hi"] = int(p.off_warm_hi)
+            self.off["seeds_hi"] = int(p.off_seeds_hi)
+            self.off["pval_hi"] = int(p.off_pval_hi)
         for i, (name, _, _) in enumerate(self.classes):
             self.off["ci_" + name] = int(p.off_ci[i])
         # Host-only frame table views.

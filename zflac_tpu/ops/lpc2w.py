@@ -187,3 +187,140 @@ def lpc2w_reconstruct_tpu(rows_t, cfwd_t, shift, order, lanes=512, hist=8,
     return lpc2w_reconstruct_inline(rows_t, cfwd_t, shift, order,
                                     lanes=lanes, hist=hist, unroll=unroll,
                                     interpret=interpret)
+
+
+# ---------------------------------------------------------------------
+# 33-bit sample variant (wide pack2 chunks): the reconstructed samples
+# themselves exceed int32 (side channel of a 32-bit stream), so the
+# recurrence carries BOTH words of every sample. Differences from the
+# base kernel: residuals/outputs are (hi, lo) pairs; the shifted
+# prediction keeps its hi word; and the product c * out splits three
+# ways (lo16, mid16, hi) because out >> 16 no longer fits 16 bits:
+#   c*out = c*lo16 + (c*mid16 << 16) + (c*hi << 32)
+# with |c| < 2^15, lo16/mid16 in [0, 2^16), and |hi| <= 1 for admitted
+# streams — every partial exact in int32.
+# ---------------------------------------------------------------------
+
+
+def _wide_step33(P_hi, P_lo, res_hi, res_lo, cfwd, shift_u, shift_i,
+                 order, t, zhi, zlo):
+    """One time step with 33-bit-capable samples. res_hi [1, L] int32,
+    res_lo [1, L] uint32. Returns (out_hi, out_lo, P_hi, P_lo)."""
+    hi0_u = _u32(P_hi[0:1])
+    pred_lo = (P_lo[0:1] >> shift_u) | \
+        ((hi0_u << 1) << (jnp.uint32(31) - shift_u))
+    pred_hi = P_hi[0:1] >> shift_i            # arithmetic
+    sum_lo = res_lo + pred_lo
+    sum_hi = res_hi + pred_hi + _carry(res_lo, pred_lo, sum_lo)
+    warm = t < order
+    out_hi = jnp.where(warm, res_hi, sum_hi)
+    out_lo = jnp.where(warm, res_lo, sum_lo)
+
+    out_lo_i = _i32(out_lo)
+    lo16 = out_lo_i & 0xFFFF
+    mid16 = _i32(out_lo >> jnp.uint32(16))
+    p1 = cfwd * lo16
+    p2 = cfwd * mid16
+    p3 = cfwd * out_hi
+    p1u = _u32(p1)
+    p2lo = _u32(p2) << 16
+    vlo = p1u + p2lo
+    vhi = (p1 >> 31) + (p2 >> 16) + _carry(p1u, p2lo, vlo) + p3
+
+    Phs = jnp.concatenate([P_hi[1:], zhi], axis=0)
+    Pls = jnp.concatenate([P_lo[1:], zlo], axis=0)
+    nlo = Pls + vlo
+    nhi = Phs + vhi + _carry(Pls, vlo, nlo)
+    return out_hi, out_lo, nhi, nlo
+
+
+def _lpc2w33_kernel(rows_hi_ref, rows_lo_ref, cfwd_ref, shift_ref,
+                    order_ref, out_hi_ref, out_lo_ref, *, hist: int,
+                    unroll: int):
+    B = rows_lo_ref.shape[0]
+    L = rows_lo_ref.shape[1]
+    cfwd = cfwd_ref[:, :]
+    shift_i = shift_ref[:, :]
+    shift_u = _u32(shift_i)
+    order = order_ref[:, :]
+    zhi = jnp.zeros((1, L), jnp.int32)
+    zlo = jnp.zeros((1, L), jnp.uint32)
+
+    def step(carry):
+        i, P_hi, P_lo = carry
+        t = pl.multiple_of(i * unroll, unroll)
+        res_h = rows_hi_ref[pl.ds(t, unroll), :]
+        res_l = _u32(rows_lo_ref[pl.ds(t, unroll), :])
+        outs_h = []
+        outs_l = []
+        for u in range(unroll):
+            oh, ol, P_hi, P_lo = _wide_step33(
+                P_hi, P_lo, res_h[u:u + 1, :], res_l[u:u + 1, :],
+                cfwd, shift_u, shift_i, order, t + u, zhi, zlo)
+            outs_h.append(oh)
+            outs_l.append(_i32(ol))
+        out_hi_ref[pl.ds(t, unroll), :] = jnp.concatenate(outs_h, axis=0)
+        out_lo_ref[pl.ds(t, unroll), :] = jnp.concatenate(outs_l, axis=0)
+        return i + jnp.int32(1), P_hi, P_lo
+
+    jax.lax.while_loop(
+        lambda c: c[0] < jnp.int32(B // unroll), step,
+        (jnp.int32(0), jnp.zeros((hist, L), jnp.int32),
+         jnp.zeros((hist, L), jnp.uint32)))
+
+
+def lpc2w33_reconstruct_inline(rows_hi_t, rows_lo_t, cfwd_t, shift,
+                               order, *, lanes: int = 512, hist: int = 8,
+                               unroll: int = 8,
+                               interpret: bool = False):
+    """33-bit-sample twin of lpc2w_reconstruct_inline: time-major
+    (hi, lo) residual rows in/out. rows int32 [B, S]; returns
+    (out_hi, out_lo) int32 [B, S]."""
+    from .vma import out_struct
+    B, S = rows_lo_t.shape
+    assert S % lanes == 0 and B % unroll == 0
+    assert unroll % 8 == 0
+    assert cfwd_t.shape[0] == hist
+    grid = (S // lanes,)
+    kernel = functools.partial(_lpc2w33_kernel, hist=hist, unroll=unroll)
+    spec = lambda r: pl.BlockSpec((r, lanes), lambda i: (0, i),  # noqa: E731
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec(B), spec(B), spec(hist), spec(1), spec(1)],
+        out_specs=[spec(B), spec(B)],
+        out_shape=[
+            out_struct((B, S), jnp.int32, rows_hi_t, rows_lo_t, cfwd_t,
+                       shift, order),
+            out_struct((B, S), jnp.int32, rows_hi_t, rows_lo_t, cfwd_t,
+                       shift, order),
+        ],
+        interpret=interpret,
+    )(rows_hi_t, rows_lo_t, cfwd_t, shift, order)
+
+
+def lpc2w33_scan(rows_hi_t, rows_lo_t, cfwd_t, shift, order, *,
+                 hist: int = 32):
+    """lax.scan reference of the 33-bit recurrence (CPU paths and
+    differential tests); same step math as the kernel."""
+    B, S = rows_lo_t.shape
+    shift_i = shift
+    shift_u = _u32(shift_i)
+    zhi = jnp.zeros((1, S), jnp.int32)
+    zlo = jnp.zeros((1, S), jnp.uint32)
+    P_hi0 = jnp.tile(rows_lo_t[:1] * 0, (hist, 1))
+    P_lo0 = _u32(P_hi0)
+
+    def step(carry, xs):
+        P_hi, P_lo = carry
+        t, rh, rl = xs
+        oh, ol, P_hi, P_lo = _wide_step33(
+            P_hi, P_lo, rh[None, :], _u32(rl[None, :]), cfwd_t,
+            shift_u, shift_i, order, t, zhi, zlo)
+        return (P_hi, P_lo), (oh[0], _i32(ol[0]))
+
+    ts = jnp.arange(B, dtype=jnp.int32)
+    _, (outs_h, outs_l) = jax.lax.scan(
+        step, (P_hi0, P_lo0), (ts, rows_hi_t, rows_lo_t))
+    return outs_h, outs_l

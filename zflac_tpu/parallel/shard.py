@@ -245,13 +245,22 @@ def repack_common(cks, num_devices: int):
         if max(sizes):
             class_np[name] = _pad_pow2(max(sizes), lo=128)
 
+    # Any wide chunk (33-bit side channel) flips the whole unified spec
+    # to the wide pair path; non-wide chunks get synthesized hi
+    # sections (sign extensions) below.
+    wide = any(getattr(ck, "wide", False) for ck in cks)
+    sects = PACK2_SECTS + (("warm_hi", "seeds_hi", "pval_hi")
+                           if wide else ())
+
     sizes = {"win": W * NGp, "meta": NGp, "kind": Sp, "order": Sp,
              "wasted": Sp, "shift": Sp, "cfwd": Sp * 32, "seeds": Sp * 4,
              "warm": Sp * 32, "warmlen": Sp, "bssub": Sp, "chcode": Fp,
-             "pidx": n_patch_p, "pval": n_patch_p}
+             "pidx": n_patch_p, "pval": n_patch_p,
+             "warm_hi": Sp * 32, "seeds_hi": Sp * 4,
+             "pval_hi": n_patch_p}
     off = {}
     at = 0
-    for name in PACK2_SECTS:
+    for name in sects:
         off[name] = at
         at += sizes[name]
     for name in sorted(class_np):
@@ -274,6 +283,17 @@ def repack_common(cks, num_devices: int):
             else:
                 src = ck.buf[ck.off[name]:ck.off[name] + sizes[name]]
             bufs[d, off[name]:off[name] + len(src)] = src
+        if wide:
+            for name, base in (("warm_hi", "warm"), ("seeds_hi", "seeds"),
+                               ("pval_hi", "pval")):
+                n = ck.n_patch_p if name == "pval_hi" else sizes[name]
+                if "warm_hi" in ck.off:
+                    src = ck.buf[ck.off[name]:ck.off[name] + n]
+                else:
+                    # Non-wide chunk under a wide unified spec: all its
+                    # 64-bit values fit int32, so hi = sign extension.
+                    src = ck.buf[ck.off[base]:ck.off[base] + n] >> 31
+                bufs[d, off[name]:off[name] + n] = src
         for name, cn, cnp in ck.classes:
             src = ck.buf[ck.off["ci_" + name]:ck.off["ci_" + name] + cnp]
             bufs[d, off["ci_" + name]:off["ci_" + name] + cnp] = src

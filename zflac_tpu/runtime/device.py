@@ -100,6 +100,13 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
         out = _unpack16_math(win, meta)
     if stage == "unpack":
         return out
+
+    if "warm_hi" in off:
+        # Wide chunk (a 33-bit side channel somewhere): 64-bit pair
+        # reconstruction (runtime/wide.py). Rare-format path; stages
+        # beyond "unpack" are not individually profiled.
+        return _reconstruct_pack2_wide33(
+            buf, out, spec=spec, use_pallas=use_pallas)
     rows = out[:, :Sp * GPB].T.reshape(Sp, GPB * G2)
     rows = rows[:, :Bp] if GPB * G2 >= Bp else jnp.pad(
         rows, ((0, 0), (0, Bp - GPB * G2)))
@@ -186,6 +193,34 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
         seg_idx.append(idx)
         seg_out.append(out_l)
 
+    def decorrelate2(c0, c1):
+        # Stereo decorrelation (zflac.zig:553-578) on channel planes.
+        mode = chcode[:, None]
+        mid = (c0 << 1) | (c1 & 1)
+        new0 = jnp.where(
+            mode == fmt.CH_SIDE_RIGHT, c0 + c1,
+            jnp.where(mode == fmt.CH_MID_SIDE, (mid + c1) >> 1, c0))
+        new1 = jnp.where(
+            mode == fmt.CH_LEFT_SIDE, c0 - c1,
+            jnp.where(mode == fmt.CH_MID_SIDE, (mid - c1) >> 1, c1))
+        return new0, new1
+
+    def pack2ch(c0, c1):
+        # Stereo interleave without a transpose: the [F, C, B] ->
+        # [F, B, C] relayout has minor dimension C=2, which XLA lowers
+        # as an interleaving copy (measured ~1.7 ms of the 16-bit tail
+        # on v5e). Packing both container-width samples into one int32
+        # lane and bitcasting to the narrower dtype appends the C axis
+        # in memory order (little-endian low half = channel 0) as a
+        # pure elementwise op.
+        if container_bits == 16:
+            packed = (c0 & 0xFFFF) | (c1 << 16)
+            return jax.lax.bitcast_convert_type(packed, jnp.int16)
+        packed = ((c0 & 0xFF) | (c1 << 8)).astype(jnp.int16)
+        return jax.lax.bitcast_convert_type(packed, jnp.int8)
+
+    cdtype = {8: jnp.int8, 16: jnp.int16, 32: jnp.int32}[container_bits]
+
     if combine == "gather":
         # Inverse permutation: row r of the class stack belongs at
         # subframe all_idx[r] (padding entries carry the OOB sentinel
@@ -199,11 +234,28 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
             mode="promise_in_bounds")
         stack = jnp.concatenate(
             seg_out + [jnp.zeros((1, Bp), jnp.int32)], axis=0)
+        if stage == "stack":
+            return stack
+        if num_channels == 2 and container_bits in (8, 16) and \
+                stage == "full":
+            # Stereo fast tail: gather each channel PLANE from the
+            # stack (subframes are frame-major, channel-minor, so
+            # channel c's rows sit at pos[c::2]) and fuse the wasted
+            # shift, decorrelation, and interleave pack on the planes —
+            # the [Sp, Bp] stream-order canvas is never materialized.
+            c0 = stack[pos[0:Sp:2]] << wasted[0:Sp:2][:, None]
+            c1 = stack[pos[1:Sp:2]] << wasted[1:Sp:2][:, None]
+            # Materialize the gathered planes once: without the barrier
+            # XLA fuses (= re-executes) each row gather into every
+            # decorrelation consumer (measured 9.6 ms of tail vs ~0.1,
+            # tools/profile_pack2.py).
+            c0 = jax.lax.optimization_barrier(c0)
+            c1 = jax.lax.optimization_barrier(c1)
+            if do_decorrelate:
+                c0, c1 = decorrelate2(c0, c1)
+            return pack2ch(c0, c1)
         signal = stack[pos[:Sp]]
-        # Materialize the gathered canvas once: without the barrier XLA
-        # fuses (= re-executes) the row gather into every downstream
-        # consumer (decorrelation reads the canvas 4-5 times), which
-        # measured 9.6 ms of tail vs ~0.1 (tools/profile_pack2.py).
+        # Same re-execution hazard as the plane gathers above.
         signal = jax.lax.optimization_barrier(signal)
     else:
         signal = jnp.zeros((Sp, Bp), jnp.int32)
@@ -215,37 +267,131 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
     # Wasted-bits shift (zflac.zig:447,459,495-496,538-539).
     signal = jnp.left_shift(signal, wasted[:, None])
 
-    # Stereo decorrelation (zflac.zig:553-578).
     frames = signal.reshape(Fp, num_channels, Bp)
     if do_decorrelate and num_channels == 2:
-        mode = chcode[:, None]
-        c0, c1 = frames[:, 0], frames[:, 1]
-        mid = (c0 << 1) | (c1 & 1)
-        new0 = jnp.where(
-            mode == fmt.CH_SIDE_RIGHT, c0 + c1,
-            jnp.where(mode == fmt.CH_MID_SIDE, (mid + c1) >> 1, c0))
-        new1 = jnp.where(
-            mode == fmt.CH_LEFT_SIDE, c0 - c1,
-            jnp.where(mode == fmt.CH_MID_SIDE, (mid - c1) >> 1, c1))
+        new0, new1 = decorrelate2(frames[:, 0], frames[:, 1])
         frames = jnp.stack([new0, new1], axis=1)
 
-    cdtype = {8: jnp.int8, 16: jnp.int16, 32: jnp.int32}[container_bits]
     if num_channels == 2 and container_bits in (8, 16):
-        # Stereo interleave without a transpose: the [F, C, B] ->
-        # [F, B, C] relayout has minor dimension C=2, which XLA lowers
-        # as an interleaving copy (measured ~1.7 ms of the 16-bit tail
-        # on v5e). Packing both container-width samples into one int32
-        # lane and bitcasting to the narrower dtype appends the C axis
-        # in memory order (little-endian low half = channel 0) as a
-        # pure elementwise op.
-        c0, c1 = frames[:, 0], frames[:, 1]
-        if container_bits == 16:
-            packed = (c0 & 0xFFFF) | (c1 << 16)
-            return jax.lax.bitcast_convert_type(packed, jnp.int16)
-        packed = ((c0 & 0xFF) | (c1 << 8)).astype(jnp.int16)
-        return jax.lax.bitcast_convert_type(packed, jnp.int8)
+        return pack2ch(frames[:, 0], frames[:, 1])
     pcm = frames.transpose(0, 2, 1)
     return pcm.astype(cdtype)
+
+
+def _reconstruct_pack2_wide33(buf, out, *, spec, use_pallas: bool):
+    """Wide-chunk reconstruction: every value rides as an (hi: int32,
+    lo: uint32-as-int32) pair so 33-bit side-channel samples
+    (zflac.zig:314-319's i64 InterType) stay exact through the LPC
+    recurrence, fixed cumsums, wasted shift, and mid-side rounding.
+    Output: [Fp, Bp, 2] int32 (the 32-bit container)."""
+    from ..ops.rice16 import G2
+    from .wide import (_i32, _u32, decorrelate2_wide,
+                       fixed_integrate_wide, shl64)
+    (Fp, Sp, Bp, GPB, W, NGp, n_patch_p, C, classes, off_items) = spec
+    off = dict(off_items)
+    classes = dict(classes)
+
+    order = _sect(buf, off["order"], Sp)
+    wasted = _sect(buf, off["wasted"], Sp)
+    shift = _sect(buf, off["shift"], Sp)
+    cfwd = _sect(buf, off["cfwd"], Sp * 32).reshape(Sp, 32)
+    seeds_l = _sect(buf, off["seeds"], Sp * 4).reshape(Sp, 4)
+    seeds_h = _sect(buf, off["seeds_hi"], Sp * 4).reshape(Sp, 4)
+    warm_l = _sect(buf, off["warm"], Sp * 32).reshape(Sp, 32)
+    warm_h = _sect(buf, off["warm_hi"], Sp * 32).reshape(Sp, 32)
+    warmlen = _sect(buf, off["warmlen"], Sp)
+    bssub = _sect(buf, off["bssub"], Sp)
+    chcode = _sect(buf, off["chcode"], Fp)
+    pidx = _sect(buf, off["pidx"], n_patch_p)
+    pval_l = _sect(buf, off["pval"], n_patch_p)
+    pval_h = _sect(buf, off["pval_hi"], n_patch_p)
+
+    rows_l = out[:, :Sp * GPB].T.reshape(Sp, GPB * G2)
+    rows_l = rows_l[:, :Bp] if GPB * G2 >= Bp else jnp.pad(
+        rows_l, ((0, 0), (0, Bp - GPB * G2)))
+    rows_h = rows_l >> 31  # residuals are int32-exact: hi = sign
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (Sp, Bp), 1)
+    wpad_l = jnp.pad(warm_l, ((0, 0), (0, Bp - 32)))
+    wpad_h = jnp.pad(warm_h, ((0, 0), (0, Bp - 32)))
+    in_warm = col < warmlen[:, None]
+    rows_l = jnp.where(in_warm, wpad_l, rows_l)
+    rows_h = jnp.where(in_warm, wpad_h, rows_h)
+    rows_l = scatter_flat(rows_l.reshape(-1), pidx, pval_l).reshape(Sp, Bp)
+    rows_h = scatter_flat(rows_h.reshape(-1), pidx, pval_h).reshape(Sp, Bp)
+    live = col < bssub[:, None]
+    rows_l = jnp.where(live, rows_l, 0)
+    rows_h = jnp.where(live, rows_h, 0)
+
+    seg_idx = []
+    seg_h = []
+    seg_l = []
+
+    def gather_ci(name):
+        return _sect(buf, off["ci_" + name], classes[name])
+
+    if "const" in classes:
+        idx = gather_ci("const")
+        n = idx.shape[0]
+        seg_idx.append(idx)
+        seg_h.append(jnp.broadcast_to(rows_h[idx, 0:1], (n, Bp)))
+        seg_l.append(jnp.broadcast_to(rows_l[idx, 0:1], (n, Bp)))
+    if "verbatim" in classes:
+        idx = gather_ci("verbatim")
+        seg_idx.append(idx)
+        seg_h.append(rows_h[idx])
+        seg_l.append(rows_l[idx])
+    if "fixed" in classes:
+        idx = gather_ci("fixed")
+        oh, ol = fixed_integrate_wide(
+            rows_h[idx], _u32(rows_l[idx]), order[idx],
+            seeds_h[idx], _u32(seeds_l[idx]))
+        seg_idx.append(idx)
+        seg_h.append(oh)
+        seg_l.append(_i32(ol))
+    for name, hist in (("lpc8", 8), ("lpc16", 16), ("lpc32", 32)):
+        if name not in classes:
+            continue
+        idx = gather_ci(name)
+        lanes = None
+        if use_pallas:
+            from ..ops.lpc2 import lpc2_lanes
+            lanes = lpc2_lanes(idx.shape[0], Bp)
+        args = (rows_h[idx].T, rows_l[idx].T, cfwd[idx][:, :hist].T,
+                shift[idx][None, :], order[idx][None, :])
+        if lanes is not None:
+            from ..ops.lpc2w import lpc2w33_reconstruct_inline
+            oh, ol = lpc2w33_reconstruct_inline(
+                *args, lanes=lanes, hist=hist, unroll=8)
+        else:
+            from ..ops.lpc2w import lpc2w33_scan
+            oh, ol = lpc2w33_scan(*args, hist=hist)
+        seg_idx.append(idx)
+        seg_h.append(oh.T)
+        seg_l.append(ol.T)
+
+    # Inverse-permutation gather (see the int32 path for rationale).
+    all_idx = jnp.concatenate(seg_idx)
+    nseg = all_idx.shape[0]
+    pos = jnp.full((Sp + 1,), nseg, jnp.int32)
+    pos = pos.at[jnp.minimum(all_idx, Sp)].set(
+        jnp.arange(nseg, dtype=jnp.int32), mode="promise_in_bounds")
+    zrow = jnp.zeros((1, Bp), jnp.int32)
+    stack_h = jnp.concatenate(seg_h + [zrow], axis=0)
+    stack_l = jnp.concatenate(seg_l + [zrow], axis=0)
+
+    # 33-bit subframes only exist on decorrelated stereo frames, so
+    # C == 2 always holds here; process per channel plane.
+    h0, l0 = stack_h[pos[0:Sp:2]], _u32(stack_l[pos[0:Sp:2]])
+    h1, l1 = stack_h[pos[1:Sp:2]], _u32(stack_l[pos[1:Sp:2]])
+    h0, l0 = shl64(h0, l0, wasted[0:Sp:2][:, None])
+    h1, l1 = shl64(h1, l1, wasted[1:Sp:2][:, None])
+    h0 = jax.lax.optimization_barrier(h0)
+    l0 = jax.lax.optimization_barrier(l0)
+    h1 = jax.lax.optimization_barrier(h1)
+    l1 = jax.lax.optimization_barrier(l1)
+    new0, new1 = decorrelate2_wide(h0, l0, h1, l1, chcode[:, None])
+    return jnp.stack([new0, new1], axis=1).transpose(0, 2, 1)
 
 
 @functools.partial(

@@ -170,6 +170,14 @@ def make_corpus() -> dict[str, tuple[bytes, np.ndarray, int, int]]:
         EncoderConfig(block_size=4096))
     add("hi-res 32bit", tone_mix(8000, 2, 32, seed=22), 48000, 32,
         EncoderConfig(block_size=2048))
+    # 32-bit + decorrelation: 33-bit side subframes, the wide (hi/lo
+    # pair) device path (zflac.zig:314-319 i64 InterType domain).
+    add("hi-res 32bit mid_side", correlated_stereo(8000, 32, seed=26),
+        48000, 32, EncoderConfig(block_size=2048,
+                                 stereo_mode="mid_side"))
+    add("hi-res 32bit left_side", correlated_stereo(6000, 32, seed=27),
+        48000, 32, EncoderConfig(block_size=1024,
+                                 stereo_mode="left_side"))
     add("surround 8ch 24bit", tone_mix(6000, 8, 24, seed=23), 48000, 24,
         EncoderConfig(block_size=1024))
     return corpus
