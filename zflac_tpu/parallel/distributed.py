@@ -188,14 +188,229 @@ def decode_longstream_distributed(data: bytes, check_crc: bool = False,
     )
 
 
+def decode_pack2_distributed(data: bytes, check_crc: bool = False,
+                             verify_md5: bool = True):
+    """Multi-process decode through the FLAGSHIP pack2 device path: one
+    packed chunk per global device, reconstructed under shard_map on
+    the global mesh, with the psum completeness collective crossing
+    real process boundaries.
+
+    Per process p of P (L local devices each):
+      1. anchor table over P*L byte ranges (identical everywhere);
+      2. process p scans its L ranges with the C++ pack2 scan
+         (measure-only; natural geometry);
+      3. the chunk GEOMETRY (frame/patch/class counts, W, wide flag)
+         crosses the mesh so every process computes the same union
+         spec; each process re-scans with the forced union geometry
+         and repacks its chunks into the unified buffer layout;
+      4. the [D, L] buffer array is assembled from process-local rows
+         (jax.make_array_from_process_local_data) and one shard_map
+         dispatch reconstructs PCM on every device, psum-reducing the
+         global sample count across processes;
+      5. per-shard PCM and frame tables cross the mesh via all_gather;
+         every process assembles the full stream, applies the
+         reference's STREAMINFO-total stop semantics, verifies MD5,
+         and returns an identical DecodedFLAC.
+
+    Falls back to decode_longstream_distributed when any process's
+    range declines the pack2 scan (the flag itself is exchanged, so
+    every process takes the same branch)."""
+    from ..format import container_bits as fmt_container_bits
+    from ..format import normalization_shift
+    from ..index.native_indexer import find_anchor, pack2_range
+    from ..result import DecodedFLAC, container_dtype
+    from ..runtime.decode import verify_stream_md5
+    from ..runtime.device import _bucket_block
+    from .shard import _pad_pow2, make_pack2_body, repack_common
+    from ..index.native_indexer import PACK2_CLASSES
+
+    Pn = jax.process_count()
+    p = jax.process_index()
+    L = jax.local_device_count()
+    D = Pn * L
+    mesh = _global_mesh()
+
+    # 1. anchor table over D ranges (identical in every process).
+    br = BitReader(data)
+    info = parse_metadata(br)
+    first = br.pos // 8
+    span = len(data) - first
+    bounds = [first + span * h // D for h in range(D + 1)]
+    anchors = [first] + [find_anchor(data, bounds[h], bounds[h + 1],
+                                     info)
+                         for h in range(1, D)]
+    starts = sorted(set(a for a in anchors if a >= 0))
+
+    # 2. natural-geometry scan of our local ranges.
+    my = list(range(p * L, (p + 1) * L))
+    cks = []
+    ok = 1
+    for d in my:
+        if d >= len(starts):
+            cks.append(None)
+            continue
+        a = starts[d]
+        stop = starts[d + 1] if d + 1 < len(starts) else len(data)
+        try:
+            ck = pack2_range(data, a, stop, info, check_crc=check_crc,
+                             max_frames=1 << 20)
+        except Exception:
+            ck = None
+        if ck is None or ck.landed < stop:
+            ok = 0
+        cks.append(ck)
+
+    # 3. geometry union exchange: per process, the max over its local
+    # chunks of every capacity plus the ok flag.
+    def cap(fn, default=0):
+        vals = [fn(ck) for ck in cks if ck is not None]
+        return max(vals) if vals else default
+
+    def class_n(ck, name):
+        return dict((n, cn) for n, cn, _ in ck.classes).get(name, 0)
+
+    row = np.array(
+        [ok, cap(lambda c: c.F), cap(lambda c: c.B),
+         cap(lambda c: c.W, 8), cap(lambda c: c.n_patch_p),
+         cap(lambda c: int(getattr(c, "wide", False)))] +
+        [cap(lambda c, n=n: class_n(c, n)) for n in PACK2_CLASSES],
+        dtype=np.int32)
+    g = _allgather_rows(mesh, row)  # [Pn, 6 + n_classes]
+    if not int(g[:, 0].min()):
+        return decode_longstream_distributed(
+            data, check_crc=check_crc, verify_md5=verify_md5)
+    FpU = _pad_pow2(max(1, int(g[:, 1].max())))
+    BpU = _bucket_block(max(int(g[:, 2].max()), 16))
+    WU = int(g[:, 3].max())
+    n_patch_pU = int(g[:, 4].max())
+    wideU = bool(g[:, 5].max())
+    class_npU = {n: int(g[:, 6 + i].max())
+                 for i, n in enumerate(PACK2_CLASSES)
+                 if int(g[:, 6 + i].max())}
+
+    # Re-scan with the forced union geometry, then repack into the
+    # unified layout (repack_common pads to the forced capacities, so
+    # every process derives byte-identical section offsets => one
+    # global spec).
+    cks2 = []
+    for d in my:
+        if d >= len(starts):
+            cks2.append(None)  # empty row: repack fills all-invalid
+            continue
+        a = starts[d]
+        stop = starts[d + 1] if d + 1 < len(starts) else len(data)
+        ck = pack2_range(data, a, stop, info, check_crc=check_crc,
+                         max_frames=FpU, force_fp=FpU, force_bp=BpU,
+                         force_w=WU)
+        assert ck is not None and ck.landed == stop
+        cks2.append(ck)
+    live_cks = [ck for ck in cks2 if ck is not None]
+    bufs, spec = repack_common(live_cks, L, force_class_np=class_npU,
+                               force_n_patch_p=n_patch_pU,
+                               force_wide=wideU)
+
+    # 4. global [D, L] array + one shard_map dispatch.
+    sharding = NamedSharding(mesh, P("dp", None))
+    garr = jax.make_array_from_process_local_data(sharding, bufs)
+    use_pallas = all(d.platform == "tpu" for d in mesh.devices.flat)
+    # do_decorrelate must be uniform across processes (it selects the
+    # traced program); True is safe — frames with independent channel
+    # codes pass through decorrelation unchanged.
+    body = make_pack2_body(
+        spec, info.channel_count,
+        fmt_container_bits(info.bits_per_sample), True, use_pallas)
+    fn = jax.jit(shard_map(body, mesh=mesh, in_specs=P("dp", None),
+                           out_specs=(P("dp"), P("dp"))))
+    pcm, totals = fn(garr)
+    local_pcm = [np.asarray(s.data)[0] for s in
+                 sorted(pcm.addressable_shards, key=lambda s: s.index)]
+    psum_total = int(np.asarray(
+        totals.addressable_shards[0].data)[0])
+
+    # 5. PCM + frame-table exchange, assembly, stop semantics, MD5.
+    C = info.channel_count
+    flat_parts = []
+    bs_parts = []
+    for ck, arr in zip(cks2, local_pcm):
+        if ck is None or ck.F == 0:
+            flat_parts.append(np.zeros(0, np.int32))
+            bs_parts.append(np.zeros(0, np.int32))
+            continue
+        vals = [arr[f, :ck.f_block_size[f], :].reshape(-1)
+                for f in range(ck.F)]
+        flat_parts.append(np.concatenate(vals).astype(np.int32))
+        bs_parts.append(ck.f_block_size.astype(np.int32))
+    my_pcm = (np.concatenate(flat_parts) if flat_parts
+              else np.zeros(0, np.int32))
+    my_bs = (np.concatenate(bs_parts) if bs_parts
+             else np.zeros(0, np.int32))
+
+    # lengths first (so rows can be padded identically everywhere)
+    lens = _join_i64(_allgather_rows(mesh, _split_i64(np.array(
+        [len(my_pcm), len(my_bs)], dtype=np.int64))))  # [Pn, 2]
+    max_pcm = int(lens[:, 0].max())
+    max_bs = int(lens[:, 1].max())
+    pad_pcm = np.zeros(max_pcm, np.int32)
+    pad_pcm[:len(my_pcm)] = my_pcm
+    pad_bs = np.zeros(max_bs, np.int32)
+    pad_bs[:len(my_bs)] = my_bs
+    g_pcm = _allgather_rows(mesh, pad_pcm)   # [Pn, max_pcm]
+    g_bs = _allgather_rows(mesh, pad_bs)     # [Pn, max_bs]
+
+    block_sizes = [g_bs[h, :int(lens[h, 1])] for h in range(Pn)]
+    parts = [g_pcm[h, :int(lens[h, 0])] for h in range(Pn)]
+    all_bs = (np.concatenate(block_sizes) if block_sizes
+              else np.zeros(0, np.int32))
+    out32 = (np.concatenate(parts) if parts
+             else np.zeros(0, np.int32))
+    assert psum_total == int(all_bs.sum(dtype=np.int64)) * C
+
+    # Reference stop semantics (zflac.zig:343-350,394-402).
+    decoded = int(all_bs.sum(dtype=np.int64))
+    if info.total_samples and decoded > info.total_samples:
+        total, offset, valid = info.total_samples, 0, True
+        cut = None
+        for fi, b in enumerate(all_bs):
+            if valid and offset >= total:
+                cut = fi
+                break
+            if valid and offset + int(b) > total:
+                valid = False
+            offset += int(b)
+        if cut is not None:
+            out32 = out32[:offset * C]
+
+    dtype = container_dtype(info.bits_per_sample)
+    out = out32.astype(dtype)
+    if verify_md5:
+        if not verify_stream_md5(out, info.bits_per_sample, info.md5):
+            raise InvalidChecksum("stream MD5 mismatch")
+    shift = normalization_shift(info.bits_per_sample)
+    if shift:
+        out = out << shift
+    return DecodedFLAC(
+        channels=C,
+        sample_rate=info.sample_rate,
+        bits_per_sample=info.bits_per_sample,
+        interleaved=out,
+        stats={"shards": len(starts), "processes": Pn,
+               "frames": int(len(all_bs)),
+               "engine": "pack2-distributed"},
+    )
+
+
 def _worker_main(argv) -> int:
-    stream_path, out_path, coordinator, pid, nprocs = argv
+    stream_path, out_path, coordinator, pid, nprocs = argv[:5]
+    engine = argv[5] if len(argv) > 5 else "longstream"
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=int(nprocs),
                                process_id=int(pid))
     with open(stream_path, "rb") as f:
         data = f.read()
-    r = decode_longstream_distributed(data)
+    if engine == "pack2":
+        r = decode_pack2_distributed(data)
+    else:
+        r = decode_longstream_distributed(data)
     np.save(out_path, r.interleaved)
     print(f"process {pid}/{nprocs}: {r.stats}", flush=True)
     return 0

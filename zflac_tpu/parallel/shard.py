@@ -225,23 +225,33 @@ PACK2_SECTS = ("win", "meta", "kind", "order", "wasted", "shift", "cfwd",
                "pval")
 
 
-def repack_common(cks, num_devices: int):
+def repack_common(cks, num_devices: int, force_class_np=None,
+                  force_n_patch_p: int = 0, force_wide=None):
     """Unify a list of Pack2Chunks (same forced Fp/Bp/W geometry) into
     one [D, L] int32 array with a single static spec: class gather
     lists and patch lists are re-padded to the maximum across chunks,
     missing classes fill with OOB sentinels, and missing devices get an
-    empty (all-invalid) chunk. Host-side numpy copies only."""
+    empty (all-invalid) chunk. Host-side numpy copies only.
+
+    force_class_np / force_n_patch_p / force_wide override the
+    locally-derived union geometry — the multi-process path
+    (parallel/distributed.py) computes the union over ALL processes'
+    chunks and forces it here so every process traces one identical
+    spec."""
     ck0 = cks[0]
     Fp, Sp, Bp, GPB, W, NGp = (ck0.Fp, ck0.Sp, ck0.Bp, ck0.GPB, ck0.W,
                                ck0.NGp)
     from ..index.native_indexer import PACK2_CLASSES
     from ..ops.rice16 import K2_INVALID
 
-    n_patch_p = _pad_pow2(max(ck.n_patch_p for ck in cks), lo=128)
+    n_patch_p = _pad_pow2(max([ck.n_patch_p for ck in cks]
+                              + [force_n_patch_p, 1]), lo=128)
     class_np = {}
     for name in PACK2_CLASSES:
         sizes = [dict((n, npd) for n, _, npd in ck.classes).get(name, 0)
                  for ck in cks]
+        if force_class_np:
+            sizes = sizes + [force_class_np.get(name, 0)]
         if max(sizes):
             class_np[name] = _pad_pow2(max(sizes), lo=128)
 
@@ -249,6 +259,8 @@ def repack_common(cks, num_devices: int):
     # to the wide pair path; non-wide chunks get synthesized hi
     # sections (sign extensions) below.
     wide = any(getattr(ck, "wide", False) for ck in cks)
+    if force_wide is not None:
+        wide = wide or bool(force_wide)
     sects = PACK2_SECTS + (("warm_hi", "seeds_hi", "pval_hi")
                            if wide else ())
 
@@ -302,6 +314,30 @@ def repack_common(cks, num_devices: int):
             tuple(sorted(class_np.items())),
             tuple(sorted(off.items())))
     return bufs, spec
+
+
+def make_pack2_body(spec, num_channels: int, container_bits: int,
+                    do_decorrelate: bool, use_pallas: bool):
+    """shard_map body for one pack2 chunk per device: full unpack +
+    reconstruction on the local [1, L] buffer shard, plus a psum
+    completeness collective over the valid sample counts. Shared by the
+    single-process sharded path below and the multi-process path
+    (parallel/distributed.py)."""
+    from ..runtime.device import _reconstruct_pack2_core
+
+    def body(b):  # [1, L] local shard
+        pcm = _reconstruct_pack2_core(
+            b[0], spec=spec, num_channels=num_channels,
+            container_bits=container_bits,
+            do_decorrelate=do_decorrelate, use_pallas=use_pallas)
+        off = dict(spec[9])
+        Sp = spec[1]
+        local = jnp.sum(
+            jax.lax.dynamic_slice_in_dim(b[0], off["bssub"], Sp))
+        total = jax.lax.psum(local, "dp")
+        return pcm[None], total[None]
+
+    return body
 
 
 def decode_to_device_sharded(data: bytes, mesh: Mesh,
@@ -370,21 +406,8 @@ def decode_to_device_sharded(data: bytes, mesh: Mesh,
     use_pallas = all(d.platform == "tpu" for d in mesh.devices.flat)
     container_bits = fmt.container_bits(info.bits_per_sample)
     do_decor = any(ck.do_decorrelate for ck in cks)
-
-    def body(b):  # [1, L] local shard
-        pcm = _reconstruct_pack2_core(
-            b[0], spec=spec, num_channels=cks[0].C,
-            container_bits=container_bits, do_decorrelate=do_decor,
-            use_pallas=use_pallas)
-        # Completeness collective: every device contributes its valid
-        # sample count (bssub zero-padded).
-        off = dict(spec[9])
-        Sp = spec[1]
-        local = jnp.sum(
-            jax.lax.dynamic_slice_in_dim(b[0], off["bssub"], Sp))
-        total = jax.lax.psum(local, "dp")
-        return pcm[None], total[None]
-
+    body = make_pack2_body(spec, cks[0].C, container_bits, do_decor,
+                           use_pallas)
     fn = jax.jit(shard_map(
         body, mesh=mesh, in_specs=P("dp"), out_specs=(P("dp"), P("dp"))))
     sh = NamedSharding(mesh, P("dp"))
