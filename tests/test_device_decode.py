@@ -32,32 +32,35 @@ _NAMES = sorted(make_corpus().keys())
 
 def _rows_from_pack2(ck):
     """Host-side reference reconstruction of residual rows from a
-    packed chunk (the same math the device runs)."""
+    packed chunk (the same math the device runs). The buffer is
+    CLASS-SORTED; the inv permutation restores stream order."""
     import jax
     buf, off = ck.buf, ck.off
-    W, NGp, Sp, Bp, GPB, S = ck.W, ck.NGp, ck.Sp, ck.Bp, ck.GPB, ck.S
+    W, NGp, Bp, GPB, S = ck.W, ck.NGp, ck.Bp, ck.GPB, ck.S
+    Ss = ck.Ssort
     win = buf[off["win"]:off["win"] + W * NGp].view(np.uint32)
     win = win.reshape(W, NGp)
     meta = buf[off["meta"]:off["meta"] + NGp].reshape(1, NGp)
     out = np.asarray(jax.jit(_unpack16_math)(win, meta))
-    rows = out[:, :Sp * GPB].T.reshape(Sp, GPB * G2)[:, :Bp]
-    order = buf[off["order"]:off["order"] + Sp]
-    warmlen = buf[off["warmlen"]:off["warmlen"] + Sp]
-    warm = buf[off["warm"]:off["warm"] + Sp * 32].reshape(Sp, 32)
+    rows = out[:, :Ss * GPB].T.reshape(Ss, GPB * G2)[:, :Bp]
+    order = buf[off["order"]:off["order"] + Ss]
+    warmlen = buf[off["warmlen"]:off["warmlen"] + Ss]
+    warm = buf[off["warm"]:off["warm"] + Ss * 32].reshape(Ss, 32)
     col = np.arange(Bp)[None, :]
-    warm_p = np.zeros((Sp, Bp), np.int32)
+    warm_p = np.zeros((Ss, Bp), np.int32)
     warm_p[:, :32] = warm
     rows = np.where(col < warmlen[:, None], warm_p, rows)
     pidx = buf[off["pidx"]:off["pidx"] + ck.n_patch_p]
     pval = buf[off["pval"]:off["pval"] + ck.n_patch_p]
     flat = rows.reshape(-1)
-    m = pidx < Sp * Bp
+    m = pidx < Ss * Bp
     flat[pidx[m]] = pval[m]
-    rows = flat.reshape(Sp, Bp)
-    bssub = buf[off["bssub"]:off["bssub"] + Sp]
+    rows = flat.reshape(Ss, Bp)
+    bssub = buf[off["bssub"]:off["bssub"] + Ss]
     rows = np.where(col < bssub[:, None], rows, 0)
-    assert int(order[:S].max(initial=0)) <= 32
-    return rows[:S]
+    assert int(order.max(initial=0)) <= 32
+    inv = buf[off["inv"]:off["inv"] + ck.Sp]
+    return rows[inv[:S]]
 
 
 @pytest.mark.parametrize("name", _NAMES)
@@ -173,11 +176,10 @@ def test_rice16_meta_packing_sanity(corpus):
                                   "variable blocksize",
                                   "stereo mid_side",
                                   "escaped partitions"])
-def test_combine_gather_matches_scatter(name, corpus):
-    """The combine='gather' class-combine strategy (one row gather by
-    the inverse permutation) is bit-identical to combine='scatter'
-    (per-class .at[idx].set), including streams with padded subframes
-    (force_fp > F) and mixed subframe classes."""
+def test_sorted_layout_padded_chunks(name, corpus):
+    """The class-sorted pack2 layout with forced frame padding
+    (force_fp > F) and mixed subframe classes decodes bit-exactly —
+    padded stream slots ride the inv sentinel to the dead row."""
     import functools
     from zflac_tpu import format as fmt
     from zflac_tpu.bitio import BitReader
@@ -187,8 +189,6 @@ def test_combine_gather_matches_scatter(name, corpus):
     data, *_ = corpus[name]
     br = BitReader(data)
     info = parse_metadata(br)
-    # force_fp pads the frame axis so the padded-subframe rows (no
-    # class) exercise the gather path's sentinel handling.
     ck = pack2_range(data, br.pos // 8, len(data), info,
                      max_frames=64, force_fp=64)
     if ck is None:
@@ -198,9 +198,20 @@ def test_combine_gather_matches_scatter(name, corpus):
         container_bits=fmt.container_bits(ck.bits_per_sample),
         do_decorrelate=ck.do_decorrelate, use_pallas=False)
     buf = jnp.asarray(ck.device_buf)
-    a = np.asarray(jax.jit(lambda b: core(b, combine="scatter"))(buf))
-    b = np.asarray(jax.jit(lambda b: core(b, combine="gather"))(buf))
-    np.testing.assert_array_equal(a, b)
+    full = np.asarray(jax.jit(lambda b: core(b))(buf))
+    ref = zflac_tpu.decode(data, engine="native")
+    shift = fmt.normalization_shift(ck.bits_per_sample)
+    refv = (ref.interleaved >> shift) if shift else ref.interleaved
+    if full.ndim == 2:  # packed stereo int16/int8 pairs
+        got = full.reshape(full.shape[0], -1, ck.C)
+    else:
+        got = full
+    at = 0
+    for f in range(ck.F):
+        bs = int(ck.f_block_size[f])
+        want = refv[at:at + bs * ck.C].reshape(bs, ck.C)
+        np.testing.assert_array_equal(got[f, :bs, :], want)
+        at += bs * ck.C
 
 
 def test_scatter_rows_sentinel_geometry():

@@ -6,10 +6,13 @@ delta between consecutive stages isolates what each piece of the graph
 costs on real hardware:
 
     unpack   rice16 Pallas kernel (raw [G2, NGp] output)
-    rows     + row assembly: transpose, warm-up splice, patch scatter,
-               tail mask
-    signal   + per-class gathers, LPC/fixed reconstruction, row scatter
-    full     + wasted shift, decorrelation, [F, B, C] transpose, cast
+    rows     + sorted-row assembly: transpose, warm-up splice, patch
+               scatter, tail mask
+    stack    + per-class reconstruction on static slices (LPC kernel,
+               fixed cumsums)
+    signal   + the inv gather to stream order (general path)
+    full     the production graph: stereo plane gathers fused with
+             wasted shift / decorrelation / interleave pack
 
 Usage: python tools/profile_pack2.py [--samples N] [--dispatches N]
        [--bps N]
@@ -37,7 +40,6 @@ def main():
     ap.add_argument("--samples", type=int, default=1 << 22)
     ap.add_argument("--dispatches", type=int, default=8)
     ap.add_argument("--bps", type=int, default=16)
-    ap.add_argument("--ab-combine", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -70,35 +72,25 @@ def main():
 
     res = {"device": str(jax.devices()[0]), "bps": bps,
            "true_samples": int(true_samples), "stages_ms": {}}
-    jobs = [(s, "scatter") for s in ("unpack", "rows", "signal", "full")]
-    if args.ab_combine:
-        # Back-to-back A/B of the class-combine strategies under the
-        # same device conditions (the tunneled chip's run-to-run
-        # variance swamps cross-process comparisons). Deltas only make
-        # sense within one combine strategy, so jobs are grouped by
-        # strategy and `prev` resets per group.
-        jobs = [("signal", "scatter"), ("full", "scatter"),
-                ("signal", "gather"), ("full", "gather")]
-    prev = {}
+    prev = 0.0
     full_ms = None
-    for stage, combine in jobs:
+    for stage in ("unpack", "rows", "stack", "signal", "full"):
         core = functools.partial(
             _reconstruct_pack2_core, spec=ck.spec_key(),
             num_channels=ck.C,
             container_bits=fmt.container_bits(ck.bits_per_sample),
             do_decorrelate=ck.do_decorrelate, use_pallas=use_pallas,
-            stage=stage, combine=combine)
-        _log(f"stage {stage}/{combine}...")
+            stage=stage)
+        _log(f"stage {stage}...")
         t = _amortized(lambda buf: core(buf), bufpad,
                        len(ck.device_buf), args.dispatches)
         ms = t * 1e3
-        key = stage if not args.ab_combine else f"{stage}/{combine}"
-        res["stages_ms"][key] = {
+        res["stages_ms"][stage] = {
             "cumulative": round(ms, 3),
-            "delta": round(ms - prev.get(combine, 0.0), 3),
+            "delta": round(ms - prev, 3),
         }
-        prev[combine] = ms
-        if stage == "full" and full_ms is None:
+        prev = ms
+        if stage == "full":
             full_ms = ms
     res["msps_full"] = round(true_samples / (full_ms / 1e3) / 1e6, 1)
     print(json.dumps(res, indent=2))

@@ -2240,7 +2240,13 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
         for (;;) {
           size_t grab[3];
           int ng = 0;
-          for (int i = 0; i < 3; i++) {
+          // Near the end of the queue, grab singly: a triple's ILP win
+          // is smaller than the tail imbalance of one worker decoding
+          // the last 3 segments while the others idle.
+          size_t taken = next.load(std::memory_order_relaxed);
+          size_t rem = segs.size() > taken ? segs.size() - taken : 0;
+          int want = rem >= 3 * (size_t)W ? 3 : 1;
+          for (int i = 0; i < want; i++) {
             size_t s = next.fetch_add(1);
             if (s < segs.size()) grab[ng++] = s;
           }
@@ -2283,7 +2289,7 @@ static bool decode_parallel_t(const uint8_t* data, size_t len,
           auto pb2 = ProfClock::now();
           prof_busy[t] += prof_ms(pb0, pb1);
           prof_drain[t] += prof_ms(pb1, pb2);
-          if (ng < 3) break;
+          if (ng < want) break;
         }
       });
     }
@@ -2597,7 +2603,9 @@ int zfi_pack2_range(const uint8_t* data, size_t len, uint64_t start_byte,
                     uint64_t stop_byte, int32_t max_frames,
                     uint32_t si_sample_rate, uint32_t si_bps,
                     uint32_t si_channels, int check_crc, int32_t force_Fp,
-                    int32_t force_Bp, int32_t force_W, Pack2* out) {
+                    int32_t force_Bp, int32_t force_W,
+                    const int32_t* force_class_np, int32_t force_patch_np,
+                    int32_t force_wide, Pack2* out) {
   std::memset(out, 0, sizeof(Pack2));
   out->landed = -1;
   if (si_bps > 32) return E_PACK2_FALLBACK;
@@ -2622,6 +2630,7 @@ int zfi_pack2_range(const uint8_t* data, size_t len, uint64_t start_byte,
         r.subs.resize(subs_cp);
         r.groups.resize(grp_cp);
         r.p_sub.resize(p_cp); r.p_pos.resize(p_cp); r.p_val.resize(p_cp);
+        r.p_val_hi.resize(p_cp);
         r.d_grp.resize(d_cp);
         r.d_sub.resize(d_cp); r.d_at.resize(d_cp); r.d_n.resize(d_cp);
         r.d_val.resize(dv_cp);
@@ -2633,7 +2642,8 @@ int zfi_pack2_range(const uint8_t* data, size_t len, uint64_t start_byte,
     if (err == E_PACK2_FALLBACK) return err;  // decline: no buffer
     out->landed = (int64_t)br.byte_pos();
     out->bits_per_sample = (int32_t)si_bps;
-    emit_pack2(data, len, r, force_Fp, force_Bp, force_W, out);
+    emit_pack2(data, len, r, force_Fp, force_Bp, force_W,
+               force_class_np, force_patch_np, force_wide, out);
     return err;
   } catch (const Thrown& t) {
     return t.code;

@@ -127,7 +127,8 @@ class _Pack2(ctypes.Structure):
         ("off_warm", ctypes.c_int64), ("off_warmlen", ctypes.c_int64),
         ("off_bssub", ctypes.c_int64), ("off_chcode", ctypes.c_int64),
         ("off_pidx", ctypes.c_int64), ("off_pval", ctypes.c_int64),
-        ("off_ci", ctypes.c_int64 * 8),
+        ("off_inv", ctypes.c_int64),
+        ("Ssort", ctypes.c_int32), ("_pad_ss", ctypes.c_int32),
         ("off_f_bs", ctypes.c_int64), ("off_f_chcode", ctypes.c_int64),
         ("off_f_coded", ctypes.c_int64), ("off_f_start", ctypes.c_int64),
         ("landed", ctypes.c_int64),
@@ -181,6 +182,7 @@ class Pack2Chunk:
             "warm": int(p.off_warm), "warmlen": int(p.off_warmlen),
             "bssub": int(p.off_bssub), "chcode": int(p.off_chcode),
             "pidx": int(p.off_pidx), "pval": int(p.off_pval),
+            "inv": int(p.off_inv),
         }
         if self.wide:
             # 33-bit side-channel chunks: hi-word sections for the
@@ -188,8 +190,7 @@ class Pack2Chunk:
             self.off["warm_hi"] = int(p.off_warm_hi)
             self.off["seeds_hi"] = int(p.off_seeds_hi)
             self.off["pval_hi"] = int(p.off_pval_hi)
-        for i, (name, _, _) in enumerate(self.classes):
-            self.off["ci_" + name] = int(p.off_ci[i])
+        self.Ssort = int(p.Ssort)
         # Host-only frame table views.
         self.f_block_size = self.buf[
             p.off_f_bs:p.off_f_bs + p.F].copy()
@@ -217,7 +218,9 @@ class Pack2Chunk:
 def pack2_range(data: bytes, start_byte: int, stop_byte: int,
                 info: StreamInfo, check_crc: bool = False,
                 max_frames: int = 0, force_fp: int = 0,
-                force_bp: int = 0, force_w: int = 0):
+                force_bp: int = 0, force_w: int = 0,
+                force_class_np=None, force_patch_np: int = 0,
+                force_wide: bool = False):
     """Measure-only scan of whole frames in [start_byte, stop_byte)
     emitting the packed device buffer (pack2 fast path). Returns a
     Pack2Chunk, or None when the fast path declines for ANY reason —
@@ -228,10 +231,17 @@ def pack2_range(data: bytes, start_byte: int, stop_byte: int,
     if lib is None:
         return None
     p = _Pack2()
+    if force_class_np is not None:
+        cnp = np.asarray(force_class_np, dtype=np.int32)
+        assert cnp.shape == (6,)
+        cnp_ptr = cnp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    else:
+        cnp_ptr = None
     rc = lib.zfi_pack2_range(
         data, len(data), start_byte, stop_byte, max_frames,
         info.sample_rate, info.bits_per_sample, info.channel_count,
         1 if check_crc else 0, force_fp, force_bp, force_w,
+        cnp_ptr, force_patch_np, 1 if force_wide else 0,
         ctypes.byref(p))
     if rc in (100, 101):
         return None
@@ -336,7 +346,8 @@ def _load():
             ctypes.c_uint64, ctypes.c_int32, ctypes.c_uint32,
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.POINTER(_Pack2)]
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(_Pack2)]
         lib.zfi_pack2_free.restype = None
         lib.zfi_pack2_free.argtypes = [ctypes.POINTER(_Pack2)]
         _lib = lib

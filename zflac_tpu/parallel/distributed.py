@@ -259,6 +259,11 @@ def decode_pack2_distributed(data: bytes, check_crc: bool = False,
         if ck is None or ck.landed < stop:
             ok = 0
         cks.append(ck)
+    if not any(ck is not None for ck in cks):
+        # A process with zero anchor ranges cannot derive the unified
+        # spec (no chunk to size the buffer from): everyone falls back
+        # to the longstream path, which handles empty shards.
+        ok = 0
 
     # 3. geometry union exchange: per process, the max over its local
     # chunks of every capacity plus the ok flag.
@@ -284,14 +289,12 @@ def decode_pack2_distributed(data: bytes, check_crc: bool = False,
     WU = int(g[:, 3].max())
     n_patch_pU = int(g[:, 4].max())
     wideU = bool(g[:, 5].max())
-    class_npU = {n: int(g[:, 6 + i].max())
-                 for i, n in enumerate(PACK2_CLASSES)
-                 if int(g[:, 6 + i].max())}
+    cnpU = [int(g[:, 6 + i].max()) for i in range(len(PACK2_CLASSES))]
 
-    # Re-scan with the forced union geometry, then repack into the
-    # unified layout (repack_common pads to the forced capacities, so
-    # every process derives byte-identical section offsets => one
-    # global spec).
+    # Re-scan with the forced union geometry: the class-sorted buffer
+    # layout is deterministic given (Fp, Bp, W, class caps, patch cap,
+    # wide), so every process derives byte-identical section offsets
+    # => one global spec.
     cks2 = []
     for d in my:
         if d >= len(starts):
@@ -301,13 +304,12 @@ def decode_pack2_distributed(data: bytes, check_crc: bool = False,
         stop = starts[d + 1] if d + 1 < len(starts) else len(data)
         ck = pack2_range(data, a, stop, info, check_crc=check_crc,
                          max_frames=FpU, force_fp=FpU, force_bp=BpU,
-                         force_w=WU)
+                         force_w=WU, force_class_np=cnpU,
+                         force_patch_np=n_patch_pU, force_wide=wideU)
         assert ck is not None and ck.landed == stop
         cks2.append(ck)
     live_cks = [ck for ck in cks2 if ck is not None]
-    bufs, spec = repack_common(live_cks, L, force_class_np=class_npU,
-                               force_n_patch_p=n_patch_pU,
-                               force_wide=wideU)
+    bufs, spec = repack_common(live_cks, L)
 
     # 4. global [D, L] array + one shard_map dispatch.
     sharding = NamedSharding(mesh, P("dp", None))

@@ -220,99 +220,48 @@ def reconstruct_sharded(plan: StreamPlan, mesh: Mesh):
 # pack2 sharded decode: one packed chunk per device
 # ---------------------------------------------------------------------------
 
-PACK2_SECTS = ("win", "meta", "kind", "order", "wasted", "shift", "cfwd",
-               "seeds", "warm", "warmlen", "bssub", "chcode", "pidx",
-               "pval")
-
-
-def repack_common(cks, num_devices: int, force_class_np=None,
-                  force_n_patch_p: int = 0, force_wide=None):
-    """Unify a list of Pack2Chunks (same forced Fp/Bp/W geometry) into
-    one [D, L] int32 array with a single static spec: class gather
-    lists and patch lists are re-padded to the maximum across chunks,
-    missing classes fill with OOB sentinels, and missing devices get an
-    empty (all-invalid) chunk. Host-side numpy copies only.
-
-    force_class_np / force_n_patch_p / force_wide override the
-    locally-derived union geometry — the multi-process path
-    (parallel/distributed.py) computes the union over ALL processes'
-    chunks and forces it here so every process traces one identical
-    spec."""
-    ck0 = cks[0]
-    Fp, Sp, Bp, GPB, W, NGp = (ck0.Fp, ck0.Sp, ck0.Bp, ck0.GPB, ck0.W,
-                               ck0.NGp)
+def class_caps(cks):
+    """Union class capacities (name -> max member count) and patch
+    capacity over a chunk list — the force_* inputs that make a
+    re-scan of each chunk produce one identical spec."""
     from ..index.native_indexer import PACK2_CLASSES
+    caps = {}
+    for ck in cks:
+        for name, cn, _ in ck.classes:
+            caps[name] = max(caps.get(name, 0), cn)
+    cnp = [caps.get(n, 0) for n in PACK2_CLASSES]
+    pnp = max([ck.n_patch_p for ck in cks] + [1])
+    wide = any(ck.wide for ck in cks)
+    return cnp, pnp, wide
+
+
+def repack_common(cks, num_devices: int):
+    """Stack Pack2Chunks scanned with one forced geometry (Fp/Bp/W/
+    class caps/patch cap/wide) into a [D, L] int32 array sharing one
+    static spec. The class-sorted buffer layout is deterministic given
+    the forced geometry, so chunks are byte-layout compatible and this
+    is a pure row copy; missing devices get an empty (all-invalid)
+    fill. Raises ValueError when the chunks' specs diverge (caller
+    re-scans with wider forcing or falls back)."""
     from ..ops.rice16 import K2_INVALID
 
-    n_patch_p = _pad_pow2(max([ck.n_patch_p for ck in cks]
-                              + [force_n_patch_p, 1]), lo=128)
-    class_np = {}
-    for name in PACK2_CLASSES:
-        sizes = [dict((n, npd) for n, _, npd in ck.classes).get(name, 0)
-                 for ck in cks]
-        if force_class_np:
-            sizes = sizes + [force_class_np.get(name, 0)]
-        if max(sizes):
-            class_np[name] = _pad_pow2(max(sizes), lo=128)
-
-    # Any wide chunk (33-bit side channel) flips the whole unified spec
-    # to the wide pair path; non-wide chunks get synthesized hi
-    # sections (sign extensions) below.
-    wide = any(getattr(ck, "wide", False) for ck in cks)
-    if force_wide is not None:
-        wide = wide or bool(force_wide)
-    sects = PACK2_SECTS + (("warm_hi", "seeds_hi", "pval_hi")
-                           if wide else ())
-
-    sizes = {"win": W * NGp, "meta": NGp, "kind": Sp, "order": Sp,
-             "wasted": Sp, "shift": Sp, "cfwd": Sp * 32, "seeds": Sp * 4,
-             "warm": Sp * 32, "warmlen": Sp, "bssub": Sp, "chcode": Fp,
-             "pidx": n_patch_p, "pval": n_patch_p,
-             "warm_hi": Sp * 32, "seeds_hi": Sp * 4,
-             "pval_hi": n_patch_p}
-    off = {}
-    at = 0
-    for name in sects:
-        off[name] = at
-        at += sizes[name]
-    for name in sorted(class_np):
-        off["ci_" + name] = at
-        at += class_np[name]
-    L = at
-
+    ck0 = cks[0]
+    spec = ck0.spec_key()
+    for ck in cks[1:]:
+        if ck.spec_key() != spec:
+            raise ValueError("pack2 chunk specs diverge")
+    off = dict(spec[9])
+    NGp, n_patch_p, Sp, Bp = spec[5], spec[6], spec[1], spec[2]
+    Ssort = sum(np_ for _, np_ in spec[8])
+    L = len(ck0.device_buf)
     bufs = np.zeros((num_devices, L), np.int32)
-    # Empty-device fill: invalid groups, OOB patches and class lists.
+    # Empty-device fill: invalid groups, OOB patch indices, sentinel
+    # permutation entries (all land in the dead row / dropped slot).
     bufs[:, off["meta"]:off["meta"] + NGp] = K2_INVALID << 5
-    bufs[:, off["pidx"]:off["pidx"] + n_patch_p] = Sp * Bp
-    for name, width in class_np.items():
-        o = off["ci_" + name]
-        bufs[:, o:o + width] = Sp
-
+    bufs[:, off["pidx"]:off["pidx"] + n_patch_p] = Ssort * Bp
+    bufs[:, off["inv"]:off["inv"] + Sp] = Ssort
     for d, ck in enumerate(cks):
-        for name in PACK2_SECTS:
-            if name in ("pidx", "pval"):
-                src = ck.buf[ck.off[name]:ck.off[name] + ck.n_patch_p]
-            else:
-                src = ck.buf[ck.off[name]:ck.off[name] + sizes[name]]
-            bufs[d, off[name]:off[name] + len(src)] = src
-        if wide:
-            for name, base in (("warm_hi", "warm"), ("seeds_hi", "seeds"),
-                               ("pval_hi", "pval")):
-                n = ck.n_patch_p if name == "pval_hi" else sizes[name]
-                if "warm_hi" in ck.off:
-                    src = ck.buf[ck.off[name]:ck.off[name] + n]
-                else:
-                    # Non-wide chunk under a wide unified spec: all its
-                    # 64-bit values fit int32, so hi = sign extension.
-                    src = ck.buf[ck.off[base]:ck.off[base] + n] >> 31
-                bufs[d, off[name]:off[name] + n] = src
-        for name, cn, cnp in ck.classes:
-            src = ck.buf[ck.off["ci_" + name]:ck.off["ci_" + name] + cnp]
-            bufs[d, off["ci_" + name]:off["ci_" + name] + cnp] = src
-
-    spec = (Fp, Sp, Bp, GPB, W, NGp, n_patch_p, ck0.C,
-            tuple(sorted(class_np.items())),
-            tuple(sorted(off.items())))
+        bufs[d, :] = ck.device_buf
     return bufs, spec
 
 
@@ -331,9 +280,9 @@ def make_pack2_body(spec, num_channels: int, container_bits: int,
             container_bits=container_bits,
             do_decorrelate=do_decorrelate, use_pallas=use_pallas)
         off = dict(spec[9])
-        Sp = spec[1]
+        Ssort = sum(np_ for _, np_ in spec[8])
         local = jnp.sum(
-            jax.lax.dynamic_slice_in_dim(b[0], off["bssub"], Sp))
+            jax.lax.dynamic_slice_in_dim(b[0], off["bssub"], Ssort))
         total = jax.lax.psum(local, "dp")
         return pcm[None], total[None]
 
@@ -374,6 +323,7 @@ def decode_to_device_sharded(data: bytes, mesh: Mesh,
     chunk_frames = _pad_pow2(max(1, -(-est_frames // D)))
 
     cks = []
+    chunk_starts = []
     force_w = 0
     while pos < len(data) and len(cks) < D:
         ck = pack2_range(data, pos, len(data), info, check_crc=check_crc,
@@ -392,6 +342,7 @@ def decode_to_device_sharded(data: bytes, mesh: Mesh,
             from ..errors import InconsistentParameters
             raise InconsistentParameters(
                 "stream parameters changed mid-stream")
+        chunk_starts.append(pos)
         cks.append(ck)
         if ck.landed <= pos:
             break
@@ -401,7 +352,22 @@ def decode_to_device_sharded(data: bytes, mesh: Mesh,
     _log_shard.debug(
         "pack2 sharded: %d chunks over %d devices, %s frames/chunk, "
         "Bp=%d", len(cks), D, [ck.F for ck in cks], Bp)
-    bufs, spec = repack_common(cks, D)
+    try:
+        bufs, spec = repack_common(cks, D)
+    except ValueError:
+        # Chunk specs diverge (class mixes / patch counts / wide flag
+        # differ): re-scan every chunk range with the forced union
+        # geometry so the class-sorted layouts coincide.
+        cnp, pnp, wide_u = class_caps(cks)
+        cks = [pack2_range(data, a, ck.landed, info,
+                           check_crc=check_crc, max_frames=chunk_frames,
+                           force_fp=chunk_frames, force_bp=Bp,
+                           force_w=force_w, force_class_np=cnp,
+                           force_patch_np=pnp, force_wide=wide_u)
+               for a, ck in zip(chunk_starts, cks)]
+        if any(ck is None for ck in cks):
+            return None
+        bufs, spec = repack_common(cks, D)
 
     use_pallas = all(d.platform == "tpu" for d in mesh.devices.flat)
     container_bits = fmt.container_bits(info.bits_per_sample)

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from .. import format as fmt
 from ..errors import InconsistentParameters, InvalidChecksum
 from ..result import DecodedFLAC, container_dtype
-from .scatter import scatter_flat, scatter_rows
+from .scatter import scatter_flat
 
 
 def _on_tpu() -> bool:
@@ -59,8 +59,7 @@ def _sect(buf, off: int, n: int):
 
 def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
                             container_bits: int, do_decorrelate: bool,
-                            use_pallas: bool, stage: str = "full",
-                            combine: str = "gather"):
+                            use_pallas: bool, stage: str = "full"):
     """One packed pack2 chunk -> container-width PCM [Fp, Bp, C].
     Not jitted: traced under reconstruct_pack2's jit or inside a
     shard_map body (parallel/shard.py).
@@ -69,29 +68,39 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
     n_patch_p, C, classes, offsets) — static, so each stream geometry
     compiles once and chunks reuse the executable.
 
+    The buffer is CLASS-SORTED (pack2_helpers.inc): subframes of one
+    kernel class occupy a contiguous 128-padded block of the sorted
+    slot space, so every class reconstructs from a STATIC row slice (no
+    per-class gathers, no combine scatter) and ONE gather by the `inv`
+    permutation restores stream order — per channel plane for stereo,
+    fusing the wasted shift / decorrelation / interleave pack on the
+    gathered planes.
+
     `stage` truncates the graph for on-chip profiling
     (tools/profile_pack2.py): "unpack" returns the raw kernel output,
-    "rows" the assembled residual rows, "signal" the reconstructed
-    subframes; "full" (production) the PCM."""
+    "rows" the assembled sorted residual rows, "stack" the
+    reconstructed sorted rows, "signal" the stream-order canvas;
+    "full" (production) the PCM."""
     from ..ops.rice16 import G2, _unpack16_math, rice16_unpack_inline
     (Fp, Sp, Bp, GPB, W, NGp, n_patch_p, C, classes, off_items) = spec
     off = dict(off_items)
-    classes = dict(classes)  # name -> padded gather-list length
+    Ssort = sum(np_ for _, np_ in classes)
 
     win = jax.lax.bitcast_convert_type(
         _sect(buf, off["win"], W * NGp).reshape(W, NGp), jnp.uint32)
     meta = _sect(buf, off["meta"], NGp).reshape(1, NGp)
-    order = _sect(buf, off["order"], Sp)
+    order = _sect(buf, off["order"], Ssort)
     wasted = _sect(buf, off["wasted"], Sp)
-    shift = _sect(buf, off["shift"], Sp)
-    cfwd = _sect(buf, off["cfwd"], Sp * 32).reshape(Sp, 32)
-    seeds = _sect(buf, off["seeds"], Sp * 4).reshape(Sp, 4)
-    warm = _sect(buf, off["warm"], Sp * 32).reshape(Sp, 32)
-    warmlen = _sect(buf, off["warmlen"], Sp)
-    bssub = _sect(buf, off["bssub"], Sp)
+    shift = _sect(buf, off["shift"], Ssort)
+    cfwd = _sect(buf, off["cfwd"], Ssort * 32).reshape(Ssort, 32)
+    seeds = _sect(buf, off["seeds"], Ssort * 4).reshape(Ssort, 4)
+    warm = _sect(buf, off["warm"], Ssort * 32).reshape(Ssort, 32)
+    warmlen = _sect(buf, off["warmlen"], Ssort)
+    bssub = _sect(buf, off["bssub"], Ssort)
     chcode = _sect(buf, off["chcode"], Fp)
     pidx = _sect(buf, off["pidx"], n_patch_p)
     pval = _sect(buf, off["pval"], n_patch_p)
+    inv = _sect(buf, off["inv"], Sp)
 
     # ---- residual rows from the bitstream windows ----
     if use_pallas:
@@ -107,91 +116,82 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
         # beyond "unpack" are not individually profiled.
         return _reconstruct_pack2_wide33(
             buf, out, spec=spec, use_pallas=use_pallas)
-    rows = out[:, :Sp * GPB].T.reshape(Sp, GPB * G2)
+    rows = out[:, :Ssort * GPB].T.reshape(Ssort, GPB * G2)
     rows = rows[:, :Bp] if GPB * G2 >= Bp else jnp.pad(
         rows, ((0, 0), (0, Bp - GPB * G2)))
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (Sp, Bp), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Ssort, Bp), 1)
     warm_p = jnp.pad(warm, ((0, 0), (0, Bp - 32)))
     rows = jnp.where(col < warmlen[:, None], warm_p, rows)
     rows = scatter_flat(rows.reshape(-1), pidx, pval)
-    rows = rows.reshape(Sp, Bp)
+    rows = rows.reshape(Ssort, Bp)
     rows = jnp.where(col < bssub[:, None], rows, 0)
     if stage == "rows":
         return rows
 
-    # ---- per-class reconstruction ----
-    # The kernel classes partition the subframes. Two combine
-    # strategies exist for reassembling the per-class outputs:
-    # combine='gather' (production default; ~1.3 ms faster end-to-end
-    # on v5e per tools/profile_pack2.py --ab-combine) appends every
-    # class's output rows to one stack and restores subframe order with
-    # a single row gather by the inverse permutation; combine='scatter'
-    # scatters each class's rows into a zero canvas (the A/B
-    # alternative). Parity pinned by
-    # tests/test_device_decode.py::test_combine_gather_matches_scatter.
+    # ---- per-class reconstruction on static slices ----
     from .reconstruct import _fixed_integrate, _lpc_scan
-    seg_idx = []
-    seg_out = []
     # High-res (container int32, 17-32 bps) needs the reference's
     # 64-bit LPC accumulator (InterType i64, zflac.zig:314-319): route
     # LPC classes through the hi/lo wide kernel. Everything else in the
     # chunk (fixed cumsums, wasted shift, decorrelation) is linear or
     # value-bounded, hence exact in int32 wraparound.
     wide = container_bits == 32
-
-    def gather_ci(name):
-        return _sect(buf, off["ci_" + name], classes[name])
-
-    if "const" in classes:
-        idx = gather_ci("const")
-        vals = jnp.broadcast_to(rows[idx, 0:1], (idx.shape[0], Bp))
-        seg_idx.append(idx)
-        seg_out.append(vals)
-    if "verbatim" in classes:
-        idx = gather_ci("verbatim")
-        seg_idx.append(idx)
-        seg_out.append(rows[idx])
-    if "fixed" in classes:
-        idx = gather_ci("fixed")
-        out_f = _fixed_integrate(rows[idx], order[idx], seeds[idx])
-        seg_idx.append(idx)
-        seg_out.append(out_f)
-    for name, hist in (("lpc8", 8), ("lpc16", 16), ("lpc32", 32)):
-        if name not in classes:
+    hist_of = {"lpc8": 8, "lpc16": 16, "lpc32": 32}
+    seg_out = []
+    base = 0
+    for name, np_ in classes:
+        sl = slice(base, base + np_)
+        base += np_
+        rows_c = rows[sl]
+        if name == "const":
+            seg_out.append(jnp.broadcast_to(rows_c[:, 0:1], (np_, Bp)))
             continue
-        idx = gather_ci(name)
+        if name == "verbatim":
+            seg_out.append(rows_c)
+            continue
+        if name == "fixed":
+            seg_out.append(
+                _fixed_integrate(rows_c, order[sl], seeds[sl]))
+            continue
+        hist = hist_of[name]
         lanes = None
         if use_pallas:
             from ..ops.lpc2 import lpc2_lanes, lpc2_reconstruct_inline
-            lanes = lpc2_lanes(idx.shape[0], Bp)
+            lanes = lpc2_lanes(np_, Bp)
         if lanes is not None:
             if wide:
                 from ..ops.lpc2w import lpc2w_reconstruct_inline
                 out_l = lpc2w_reconstruct_inline(
-                    rows[idx].T, cfwd[idx][:, :hist].T,
-                    shift[idx][None, :], order[idx][None, :],
+                    rows_c.T, cfwd[sl, :hist].T,
+                    shift[sl][None, :], order[sl][None, :],
                     lanes=lanes, hist=hist, unroll=8).T
             else:
                 out_l = lpc2_reconstruct_inline(
-                    rows[idx].T, cfwd[idx][:, :hist].T,
-                    shift[idx][None, :], order[idx][None, :],
-                    lanes=lanes, hist=hist,
-                    unroll=8).T
+                    rows_c.T, cfwd[sl, :hist].T,
+                    shift[sl][None, :], order[sl][None, :],
+                    lanes=lanes, hist=hist, unroll=8).T
         elif wide:
             # Same wide step math as the kernel, as a lax.scan
             # (CPU tests / non-TPU backends).
             from ..ops.lpc2w import lpc2w_scan
             out_l = lpc2w_scan(
-                rows[idx].T, cfwd[idx][:, :hist].T,
-                shift[idx][None, :], order[idx][None, :], hist=hist).T
+                rows_c.T, cfwd[sl, :hist].T,
+                shift[sl][None, :], order[sl][None, :], hist=hist).T
         else:
             # XLA scan fallback (CPU tests / non-TPU backends); wants
             # reversed coefficients [n, 32] (slot 31-j = c_{j+1}).
-            out_l = _lpc_scan(rows[idx], cfwd[idx][:, ::-1],
-                              shift[idx], order[idx])
-        seg_idx.append(idx)
+            out_l = _lpc_scan(rows_c, cfwd[sl, ::-1],
+                              shift[sl], order[sl])
         seg_out.append(out_l)
+
+    # Sorted processed rows + one dead zero row; `inv` (stream ->
+    # sorted, sentinel Ssort for padded stream slots) is in bounds by
+    # construction.
+    stack = jnp.concatenate(
+        seg_out + [jnp.zeros((1, Bp), jnp.int32)], axis=0)
+    if stage == "stack":
+        return stack
 
     def decorrelate2(c0, c1):
         # Stereo decorrelation (zflac.zig:553-578) on channel planes.
@@ -221,46 +221,28 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
 
     cdtype = {8: jnp.int8, 16: jnp.int16, 32: jnp.int32}[container_bits]
 
-    if combine == "gather":
-        # Inverse permutation: row r of the class stack belongs at
-        # subframe all_idx[r] (padding entries carry the OOB sentinel
-        # Sp and land in the discarded slot). Padded subframes (no
-        # class) keep the appended zero row.
-        all_idx = jnp.concatenate(seg_idx)
-        nseg = all_idx.shape[0]
-        pos = jnp.full((Sp + 1,), nseg, jnp.int32)
-        pos = pos.at[jnp.minimum(all_idx, Sp)].set(
-            jnp.arange(nseg, dtype=jnp.int32),
-            mode="promise_in_bounds")
-        stack = jnp.concatenate(
-            seg_out + [jnp.zeros((1, Bp), jnp.int32)], axis=0)
-        if stage == "stack":
-            return stack
-        if num_channels == 2 and container_bits in (8, 16) and \
-                stage == "full":
-            # Stereo fast tail: gather each channel PLANE from the
-            # stack (subframes are frame-major, channel-minor, so
-            # channel c's rows sit at pos[c::2]) and fuse the wasted
-            # shift, decorrelation, and interleave pack on the planes —
-            # the [Sp, Bp] stream-order canvas is never materialized.
-            c0 = stack[pos[0:Sp:2]] << wasted[0:Sp:2][:, None]
-            c1 = stack[pos[1:Sp:2]] << wasted[1:Sp:2][:, None]
-            # Materialize the gathered planes once: without the barrier
-            # XLA fuses (= re-executes) each row gather into every
-            # decorrelation consumer (measured 9.6 ms of tail vs ~0.1,
-            # tools/profile_pack2.py).
-            c0 = jax.lax.optimization_barrier(c0)
-            c1 = jax.lax.optimization_barrier(c1)
-            if do_decorrelate:
-                c0, c1 = decorrelate2(c0, c1)
-            return pack2ch(c0, c1)
-        signal = stack[pos[:Sp]]
-        # Same re-execution hazard as the plane gathers above.
-        signal = jax.lax.optimization_barrier(signal)
-    else:
-        signal = jnp.zeros((Sp, Bp), jnp.int32)
-        for idx, out_c in zip(seg_idx, seg_out):
-            signal = scatter_rows(signal, idx, out_c)
+    if num_channels == 2 and container_bits in (8, 16) and \
+            stage == "full":
+        # Stereo fast tail: gather each channel PLANE from the stack
+        # (subframes are frame-major, channel-minor, so channel c's
+        # rows sit at inv[c::2]) and fuse the wasted shift,
+        # decorrelation, and interleave pack on the planes — the
+        # [Sp, Bp] stream-order canvas is never materialized.
+        c0 = stack[inv[0:Sp:2]] << wasted[0:Sp:2][:, None]
+        c1 = stack[inv[1:Sp:2]] << wasted[1:Sp:2][:, None]
+        # Materialize the gathered planes once: without the barrier
+        # XLA fuses (= re-executes) each row gather into every
+        # decorrelation consumer (measured 9.6 ms of tail vs ~0.1,
+        # tools/profile_pack2.py).
+        c0 = jax.lax.optimization_barrier(c0)
+        c1 = jax.lax.optimization_barrier(c1)
+        if do_decorrelate:
+            c0, c1 = decorrelate2(c0, c1)
+        return pack2ch(c0, c1)
+
+    signal = stack[inv]
+    # Same re-execution hazard as the plane gathers above.
+    signal = jax.lax.optimization_barrier(signal)
     if stage == "signal":
         return signal
 
@@ -283,82 +265,81 @@ def _reconstruct_pack2_wide33(buf, out, *, spec, use_pallas: bool):
     lo: uint32-as-int32) pair so 33-bit side-channel samples
     (zflac.zig:314-319's i64 InterType) stay exact through the LPC
     recurrence, fixed cumsums, wasted shift, and mid-side rounding.
-    Output: [Fp, Bp, 2] int32 (the 32-bit container)."""
+    Same class-sorted layout as the int32 path (static class slices,
+    one inv gather). Output: [Fp, Bp, 2] int32 (the 32-bit
+    container)."""
     from ..ops.rice16 import G2
     from .wide import (_i32, _u32, decorrelate2_wide,
                        fixed_integrate_wide, shl64)
     (Fp, Sp, Bp, GPB, W, NGp, n_patch_p, C, classes, off_items) = spec
     off = dict(off_items)
-    classes = dict(classes)
+    Ssort = sum(np_ for _, np_ in classes)
 
-    order = _sect(buf, off["order"], Sp)
+    order = _sect(buf, off["order"], Ssort)
     wasted = _sect(buf, off["wasted"], Sp)
-    shift = _sect(buf, off["shift"], Sp)
-    cfwd = _sect(buf, off["cfwd"], Sp * 32).reshape(Sp, 32)
-    seeds_l = _sect(buf, off["seeds"], Sp * 4).reshape(Sp, 4)
-    seeds_h = _sect(buf, off["seeds_hi"], Sp * 4).reshape(Sp, 4)
-    warm_l = _sect(buf, off["warm"], Sp * 32).reshape(Sp, 32)
-    warm_h = _sect(buf, off["warm_hi"], Sp * 32).reshape(Sp, 32)
-    warmlen = _sect(buf, off["warmlen"], Sp)
-    bssub = _sect(buf, off["bssub"], Sp)
+    shift = _sect(buf, off["shift"], Ssort)
+    cfwd = _sect(buf, off["cfwd"], Ssort * 32).reshape(Ssort, 32)
+    seeds_l = _sect(buf, off["seeds"], Ssort * 4).reshape(Ssort, 4)
+    seeds_h = _sect(buf, off["seeds_hi"], Ssort * 4).reshape(Ssort, 4)
+    warm_l = _sect(buf, off["warm"], Ssort * 32).reshape(Ssort, 32)
+    warm_h = _sect(buf, off["warm_hi"], Ssort * 32).reshape(Ssort, 32)
+    warmlen = _sect(buf, off["warmlen"], Ssort)
+    bssub = _sect(buf, off["bssub"], Ssort)
     chcode = _sect(buf, off["chcode"], Fp)
     pidx = _sect(buf, off["pidx"], n_patch_p)
     pval_l = _sect(buf, off["pval"], n_patch_p)
     pval_h = _sect(buf, off["pval_hi"], n_patch_p)
+    inv = _sect(buf, off["inv"], Sp)
 
-    rows_l = out[:, :Sp * GPB].T.reshape(Sp, GPB * G2)
+    rows_l = out[:, :Ssort * GPB].T.reshape(Ssort, GPB * G2)
     rows_l = rows_l[:, :Bp] if GPB * G2 >= Bp else jnp.pad(
         rows_l, ((0, 0), (0, Bp - GPB * G2)))
     rows_h = rows_l >> 31  # residuals are int32-exact: hi = sign
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (Sp, Bp), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Ssort, Bp), 1)
     wpad_l = jnp.pad(warm_l, ((0, 0), (0, Bp - 32)))
     wpad_h = jnp.pad(warm_h, ((0, 0), (0, Bp - 32)))
     in_warm = col < warmlen[:, None]
     rows_l = jnp.where(in_warm, wpad_l, rows_l)
     rows_h = jnp.where(in_warm, wpad_h, rows_h)
-    rows_l = scatter_flat(rows_l.reshape(-1), pidx, pval_l).reshape(Sp, Bp)
-    rows_h = scatter_flat(rows_h.reshape(-1), pidx, pval_h).reshape(Sp, Bp)
+    rows_l = scatter_flat(rows_l.reshape(-1), pidx,
+                          pval_l).reshape(Ssort, Bp)
+    rows_h = scatter_flat(rows_h.reshape(-1), pidx,
+                          pval_h).reshape(Ssort, Bp)
     live = col < bssub[:, None]
     rows_l = jnp.where(live, rows_l, 0)
     rows_h = jnp.where(live, rows_h, 0)
 
-    seg_idx = []
+    hist_of = {"lpc8": 8, "lpc16": 16, "lpc32": 32}
     seg_h = []
     seg_l = []
-
-    def gather_ci(name):
-        return _sect(buf, off["ci_" + name], classes[name])
-
-    if "const" in classes:
-        idx = gather_ci("const")
-        n = idx.shape[0]
-        seg_idx.append(idx)
-        seg_h.append(jnp.broadcast_to(rows_h[idx, 0:1], (n, Bp)))
-        seg_l.append(jnp.broadcast_to(rows_l[idx, 0:1], (n, Bp)))
-    if "verbatim" in classes:
-        idx = gather_ci("verbatim")
-        seg_idx.append(idx)
-        seg_h.append(rows_h[idx])
-        seg_l.append(rows_l[idx])
-    if "fixed" in classes:
-        idx = gather_ci("fixed")
-        oh, ol = fixed_integrate_wide(
-            rows_h[idx], _u32(rows_l[idx]), order[idx],
-            seeds_h[idx], _u32(seeds_l[idx]))
-        seg_idx.append(idx)
-        seg_h.append(oh)
-        seg_l.append(_i32(ol))
-    for name, hist in (("lpc8", 8), ("lpc16", 16), ("lpc32", 32)):
-        if name not in classes:
+    base = 0
+    for name, np_ in classes:
+        sl = slice(base, base + np_)
+        base += np_
+        rc_h, rc_l = rows_h[sl], rows_l[sl]
+        if name == "const":
+            seg_h.append(jnp.broadcast_to(rc_h[:, 0:1], (np_, Bp)))
+            seg_l.append(jnp.broadcast_to(rc_l[:, 0:1], (np_, Bp)))
             continue
-        idx = gather_ci(name)
+        if name == "verbatim":
+            seg_h.append(rc_h)
+            seg_l.append(rc_l)
+            continue
+        if name == "fixed":
+            oh, ol = fixed_integrate_wide(
+                rc_h, _u32(rc_l), order[sl],
+                seeds_h[sl], _u32(seeds_l[sl]))
+            seg_h.append(oh)
+            seg_l.append(_i32(ol))
+            continue
+        hist = hist_of[name]
         lanes = None
         if use_pallas:
             from ..ops.lpc2 import lpc2_lanes
-            lanes = lpc2_lanes(idx.shape[0], Bp)
-        args = (rows_h[idx].T, rows_l[idx].T, cfwd[idx][:, :hist].T,
-                shift[idx][None, :], order[idx][None, :])
+            lanes = lpc2_lanes(np_, Bp)
+        args = (rc_h.T, rc_l.T, cfwd[sl, :hist].T,
+                shift[sl][None, :], order[sl][None, :])
         if lanes is not None:
             from ..ops.lpc2w import lpc2w33_reconstruct_inline
             oh, ol = lpc2w33_reconstruct_inline(
@@ -366,24 +347,17 @@ def _reconstruct_pack2_wide33(buf, out, *, spec, use_pallas: bool):
         else:
             from ..ops.lpc2w import lpc2w33_scan
             oh, ol = lpc2w33_scan(*args, hist=hist)
-        seg_idx.append(idx)
         seg_h.append(oh.T)
         seg_l.append(ol.T)
 
-    # Inverse-permutation gather (see the int32 path for rationale).
-    all_idx = jnp.concatenate(seg_idx)
-    nseg = all_idx.shape[0]
-    pos = jnp.full((Sp + 1,), nseg, jnp.int32)
-    pos = pos.at[jnp.minimum(all_idx, Sp)].set(
-        jnp.arange(nseg, dtype=jnp.int32), mode="promise_in_bounds")
     zrow = jnp.zeros((1, Bp), jnp.int32)
     stack_h = jnp.concatenate(seg_h + [zrow], axis=0)
     stack_l = jnp.concatenate(seg_l + [zrow], axis=0)
 
     # 33-bit subframes only exist on decorrelated stereo frames, so
     # C == 2 always holds here; process per channel plane.
-    h0, l0 = stack_h[pos[0:Sp:2]], _u32(stack_l[pos[0:Sp:2]])
-    h1, l1 = stack_h[pos[1:Sp:2]], _u32(stack_l[pos[1:Sp:2]])
+    h0, l0 = stack_h[inv[0:Sp:2]], _u32(stack_l[inv[0:Sp:2]])
+    h1, l1 = stack_h[inv[1:Sp:2]], _u32(stack_l[inv[1:Sp:2]])
     h0, l0 = shl64(h0, l0, wasted[0:Sp:2][:, None])
     h1, l1 = shl64(h1, l1, wasted[1:Sp:2][:, None])
     h0 = jax.lax.optimization_barrier(h0)
@@ -501,17 +475,33 @@ def decode_to_device(data: bytes, check_crc: bool = False,
     use_pallas = _on_tpu()
     dd = None
     force_w = 0
+    force_cnp = None
+    force_pnp = 0
+    force_wide = False
     chunks_meta = []
     while pos < len(data):
         ck = pack2_range(data, pos, len(data), info,
                          check_crc=check_crc, max_frames=chunk_frames,
                          force_fp=chunk_frames, force_bp=Bp,
-                         force_w=force_w)
+                         force_w=force_w, force_class_np=force_cnp,
+                         force_patch_np=force_pnp,
+                         force_wide=force_wide)
         if ck is None:
             return None
         if ck.F == 0:
             break
+        # Pin the first chunk's geometry as the floor for later chunks
+        # so a homogeneous stream compiles once; a later chunk that
+        # genuinely needs more capacity grows the spec (recompile).
         force_w = ck.W
+        from ..parallel.shard import class_caps
+        cnp, pnp, wide_u = class_caps([ck])
+        if force_cnp is None:
+            force_cnp, force_pnp, force_wide = cnp, pnp, wide_u
+        else:
+            force_cnp = [max(a, b) for a, b in zip(force_cnp, cnp)]
+            force_pnp = max(force_pnp, pnp)
+            force_wide = force_wide or wide_u
         if dd is None:
             dd = DeviceDecoded(
                 channels=ck.C, sample_rate=ck.sample_rate,
