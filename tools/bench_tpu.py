@@ -161,7 +161,8 @@ def bench_kernels(n: int):
     out["rice16_mres_s"] = round(G2 * NG / t / 1e6, 1)
 
     # lpc2 / lpc2w: B x S = 4096 x 2048 (a 4M-sample stream's LPC
-    # load), lanes=128 to stay inside the VMEM envelope.
+    # load); lanes=512 with 512-sample time tiles (the latency-hiding
+    # geometry the production path picks via lpc2_lanes).
     B, S, hist = 4096, 2048, 8
     rows = jnp.asarray(rng.integers(-1000, 1000, (2 * B, S),
                                     dtype=np.int32))
@@ -172,7 +173,7 @@ def bench_kernels(n: int):
     for name, fn in (("lpc2", lpc2_reconstruct_inline),
                      ("lpc2w", lpc2w_reconstruct_inline)):
         t = _amortized(
-            lambda r, c, s, o, fn=fn: fn(r, c, s, o, lanes=128,
+            lambda r, c, s, o, fn=fn: fn(r, c, s, o, lanes=512,
                                          hist=hist, unroll=8),
             rows, B, n, extra_args=(cfwd, shift, order))
         out[f"{name}_samples_per_exec"] = B * S

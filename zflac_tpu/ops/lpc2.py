@@ -40,14 +40,27 @@ from jax.experimental.pallas import tpu as pltpu
 from .vma import out_struct
 
 
-def _lpc2_kernel(rows_ref, cfwd_ref, shift_ref, order_ref, out_ref, *,
-                 hist: int, unroll: int):
-    B = rows_ref.shape[0]
+def _lpc2_kernel(rows_ref, cfwd_ref, shift_ref, order_ref, out_ref,
+                 P_scr, *, hist: int, unroll: int, tt: int):
+    """Time-tiled grid body: grid = (S/lanes, B/tt), time tiles inner.
+    The recurrence is latency-bound (each step's ~5-op dependency chain
+    stalls the VPU regardless of lane count), so lanes go WIDE (512:
+    four vregs of independent work per step hide the chain latency —
+    measured 2.4x over the old whole-time-axis blocks at lanes=128) and
+    the pipeline state P carries across time tiles in VMEM scratch
+    (TPU grid iteration is sequential, so scratch persists)."""
     L = rows_ref.shape[1]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        P_scr[...] = jnp.zeros((hist, L), jnp.int32)
+
     cfwd = cfwd_ref[:, :]              # [hist, L], row r = c_{r+1}
     shift = shift_ref[:, :]            # [1, L]
     order = order_ref[:, :]            # [1, L]
     zrow = jnp.zeros((1, L), jnp.int32)
+    t0 = j * tt
 
     def step(carry):
         i, P = carry
@@ -56,7 +69,7 @@ def _lpc2_kernel(rows_ref, cfwd_ref, shift_ref, order_ref, out_ref, *,
         outs = []
         for u in range(unroll):
             pred = jnp.right_shift(P[0:1, :], shift)
-            out = jnp.where(t + u >= order, res[u:u + 1, :] + pred,
+            out = jnp.where(t0 + t + u >= order, res[u:u + 1, :] + pred,
                             res[u:u + 1, :])
             outs.append(out)
             # Rolling pipeline: drop the consumed head, add this
@@ -65,54 +78,60 @@ def _lpc2_kernel(rows_ref, cfwd_ref, shift_ref, order_ref, out_ref, *,
         out_ref[pl.ds(t, unroll), :] = jnp.concatenate(outs, axis=0)
         return i + jnp.int32(1), P
 
-    jax.lax.while_loop(
-        lambda c: c[0] < jnp.int32(B // unroll), step,
-        (jnp.int32(0), jnp.zeros((hist, L), jnp.int32)))
+    _, P = jax.lax.while_loop(
+        lambda c: c[0] < jnp.int32(tt // unroll), step,
+        (jnp.int32(0), P_scr[...]))
+    P_scr[...] = P
 
 
 def lpc2_reconstruct_inline(rows_t, cfwd_t, shift, order, *,
                             lanes: int = 512, hist: int = 8,
-                            unroll: int = 8, interpret: bool = False):
+                            unroll: int = 8, tt: int = 512,
+                            interpret: bool = False):
     """rows_t: [B, S] int32 (time-major; warm-ups at t < order,
     residuals after); cfwd_t: [hist, S] with row r = c_{r+1} (zero for
     r >= order); shift/order: [1, S]. S must be a multiple of `lanes`,
-    B of `unroll`, every order <= hist. Returns the reconstructed
-    signal [B, S] int32. Not jitted: inline under the caller's jit."""
+    B of `tt` (and tt of `unroll`), every order <= hist. Returns the
+    reconstructed signal [B, S] int32. Not jitted: inline under the
+    caller's jit."""
     B, S = rows_t.shape
-    assert S % lanes == 0 and B % unroll == 0
+    tt = min(tt, B)
+    assert S % lanes == 0 and B % tt == 0 and tt % unroll == 0
     assert unroll % 8 == 0, "sublane alignment requires unroll % 8 == 0"
     assert cfwd_t.shape[0] == hist
-    grid = (S // lanes,)
-    kernel = functools.partial(_lpc2_kernel, hist=hist, unroll=unroll)
+    grid = (S // lanes, B // tt)
+    kernel = functools.partial(_lpc2_kernel, hist=hist, unroll=unroll,
+                               tt=tt)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, lanes), lambda i: (0, i),
+            pl.BlockSpec((tt, lanes), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hist, lanes), lambda i: (0, i),
+            pl.BlockSpec((hist, lanes), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda i: (0, i),
+            pl.BlockSpec((1, lanes), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda i: (0, i),
+            pl.BlockSpec((1, lanes), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, lanes), lambda i: (0, i),
+        out_specs=pl.BlockSpec((tt, lanes), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=out_struct((B, S), jnp.int32, rows_t, cfwd_t,
                              shift, order),
+        scratch_shapes=[pltpu.VMEM((hist, lanes), jnp.int32)],
         interpret=interpret,
     )(rows_t, cfwd_t, shift, order)
 
 
 def lpc2_lanes(n: int, B: int) -> int | None:
-    """Widest lane count dividing n that keeps rows + out blocks in
-    VMEM, or None when no width fits (huge block sizes) — the caller
-    falls back to the XLA scan path instead of overflowing VMEM.
-    Pallas double-buffers grid blocks, so the footprint is
-    2 x (in + out) = 4 block copies."""
+    """Widest lane count dividing n that keeps the time-tiled blocks in
+    VMEM, or None when nothing fits — the caller falls back to the XLA
+    scan path. With time tiling the block footprint is
+    2 x (in + out) x (tt x lanes) words, independent of B."""
+    tt = min(512, B)
     for lanes in (512, 256, 128):
-        if n % lanes == 0 and 4 * B * lanes * 4 <= 14 * 2**20:
+        if n % lanes == 0 and 4 * tt * lanes * 4 <= 12 * 2**20:
             return lanes
     return None
 

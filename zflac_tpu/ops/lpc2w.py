@@ -91,15 +91,24 @@ def _wide_step(P_hi, P_lo, res_row, cfwd, shift_u, order, t, zhi, zlo):
     return out, nhi, nlo
 
 
-def _lpc2w_kernel(rows_ref, cfwd_ref, shift_ref, order_ref, out_ref, *,
-                  hist: int, unroll: int):
-    B = rows_ref.shape[0]
+def _lpc2w_kernel(rows_ref, cfwd_ref, shift_ref, order_ref, out_ref,
+                  Ph_scr, Pl_scr, *, hist: int, unroll: int, tt: int):
+    """Time-tiled like _lpc2_kernel (ops/lpc2.py): the hi/lo pipeline
+    state carries across time tiles in two VMEM scratch buffers."""
     L = rows_ref.shape[1]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        Ph_scr[...] = jnp.zeros((hist, L), jnp.int32)
+        Pl_scr[...] = jnp.zeros((hist, L), jnp.uint32)
+
     cfwd = cfwd_ref[:, :]
     shift_u = _u32(shift_ref[:, :])
     order = order_ref[:, :]
     zhi = jnp.zeros((1, L), jnp.int32)
     zlo = jnp.zeros((1, L), jnp.uint32)
+    t0 = j * tt
 
     def step(carry):
         i, P_hi, P_lo = carry
@@ -109,47 +118,53 @@ def _lpc2w_kernel(rows_ref, cfwd_ref, shift_ref, order_ref, out_ref, *,
         for u in range(unroll):
             out, P_hi, P_lo = _wide_step(
                 P_hi, P_lo, res[u:u + 1, :], cfwd, shift_u, order,
-                t + u, zhi, zlo)
+                t0 + t + u, zhi, zlo)
             outs.append(out)
         out_ref[pl.ds(t, unroll), :] = jnp.concatenate(outs, axis=0)
         return i + jnp.int32(1), P_hi, P_lo
 
-    jax.lax.while_loop(
-        lambda c: c[0] < jnp.int32(B // unroll), step,
-        (jnp.int32(0), jnp.zeros((hist, L), jnp.int32),
-         jnp.zeros((hist, L), jnp.uint32)))
+    _, P_hi, P_lo = jax.lax.while_loop(
+        lambda c: c[0] < jnp.int32(tt // unroll), step,
+        (jnp.int32(0), Ph_scr[...], Pl_scr[...]))
+    Ph_scr[...] = P_hi
+    Pl_scr[...] = P_lo
 
 
 def lpc2w_reconstruct_inline(rows_t, cfwd_t, shift, order, *,
                              lanes: int = 512, hist: int = 8,
-                             unroll: int = 8, interpret: bool = False):
+                             unroll: int = 8, tt: int = 512,
+                             interpret: bool = False):
     """Wide-accumulator twin of ops/lpc2.lpc2_reconstruct_inline: same
     layout (rows_t [B, S] int32 time-major, cfwd_t [hist, S] forward
     coefficients, shift/order [1, S]), 64-bit accumulator semantics.
     Not jitted: inline under the caller's jit."""
     B, S = rows_t.shape
-    assert S % lanes == 0 and B % unroll == 0
+    tt = min(tt, B)
+    assert S % lanes == 0 and B % tt == 0 and tt % unroll == 0
     assert unroll % 8 == 0, "sublane alignment requires unroll % 8 == 0"
     assert cfwd_t.shape[0] == hist
-    grid = (S // lanes,)
-    kernel = functools.partial(_lpc2w_kernel, hist=hist, unroll=unroll)
+    grid = (S // lanes, B // tt)
+    kernel = functools.partial(_lpc2w_kernel, hist=hist, unroll=unroll,
+                               tt=tt)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, lanes), lambda i: (0, i),
+            pl.BlockSpec((tt, lanes), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hist, lanes), lambda i: (0, i),
+            pl.BlockSpec((hist, lanes), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda i: (0, i),
+            pl.BlockSpec((1, lanes), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda i: (0, i),
+            pl.BlockSpec((1, lanes), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, lanes), lambda i: (0, i),
+        out_specs=pl.BlockSpec((tt, lanes), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=out_struct((B, S), jnp.int32, rows_t, cfwd_t,
                              shift, order),
+        scratch_shapes=[pltpu.VMEM((hist, lanes), jnp.int32),
+                        pltpu.VMEM((hist, lanes), jnp.uint32)],
         interpret=interpret,
     )(rows_t, cfwd_t, shift, order)
 
@@ -235,16 +250,23 @@ def _wide_step33(P_hi, P_lo, res_hi, res_lo, cfwd, shift_u, shift_i,
 
 
 def _lpc2w33_kernel(rows_hi_ref, rows_lo_ref, cfwd_ref, shift_ref,
-                    order_ref, out_hi_ref, out_lo_ref, *, hist: int,
-                    unroll: int):
-    B = rows_lo_ref.shape[0]
+                    order_ref, out_hi_ref, out_lo_ref, Ph_scr, Pl_scr,
+                    *, hist: int, unroll: int, tt: int):
     L = rows_lo_ref.shape[1]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        Ph_scr[...] = jnp.zeros((hist, L), jnp.int32)
+        Pl_scr[...] = jnp.zeros((hist, L), jnp.uint32)
+
     cfwd = cfwd_ref[:, :]
     shift_i = shift_ref[:, :]
     shift_u = _u32(shift_i)
     order = order_ref[:, :]
     zhi = jnp.zeros((1, L), jnp.int32)
     zlo = jnp.zeros((1, L), jnp.uint32)
+    t0 = j * tt
 
     def step(carry):
         i, P_hi, P_lo = carry
@@ -256,46 +278,53 @@ def _lpc2w33_kernel(rows_hi_ref, rows_lo_ref, cfwd_ref, shift_ref,
         for u in range(unroll):
             oh, ol, P_hi, P_lo = _wide_step33(
                 P_hi, P_lo, res_h[u:u + 1, :], res_l[u:u + 1, :],
-                cfwd, shift_u, shift_i, order, t + u, zhi, zlo)
+                cfwd, shift_u, shift_i, order, t0 + t + u, zhi, zlo)
             outs_h.append(oh)
             outs_l.append(_i32(ol))
         out_hi_ref[pl.ds(t, unroll), :] = jnp.concatenate(outs_h, axis=0)
         out_lo_ref[pl.ds(t, unroll), :] = jnp.concatenate(outs_l, axis=0)
         return i + jnp.int32(1), P_hi, P_lo
 
-    jax.lax.while_loop(
-        lambda c: c[0] < jnp.int32(B // unroll), step,
-        (jnp.int32(0), jnp.zeros((hist, L), jnp.int32),
-         jnp.zeros((hist, L), jnp.uint32)))
+    _, P_hi, P_lo = jax.lax.while_loop(
+        lambda c: c[0] < jnp.int32(tt // unroll), step,
+        (jnp.int32(0), Ph_scr[...], Pl_scr[...]))
+    Ph_scr[...] = P_hi
+    Pl_scr[...] = P_lo
 
 
 def lpc2w33_reconstruct_inline(rows_hi_t, rows_lo_t, cfwd_t, shift,
                                order, *, lanes: int = 512, hist: int = 8,
-                               unroll: int = 8,
+                               unroll: int = 8, tt: int = 512,
                                interpret: bool = False):
     """33-bit-sample twin of lpc2w_reconstruct_inline: time-major
     (hi, lo) residual rows in/out. rows int32 [B, S]; returns
     (out_hi, out_lo) int32 [B, S]."""
     from .vma import out_struct
     B, S = rows_lo_t.shape
-    assert S % lanes == 0 and B % unroll == 0
+    tt = min(tt, B)
+    assert S % lanes == 0 and B % tt == 0 and tt % unroll == 0
     assert unroll % 8 == 0
     assert cfwd_t.shape[0] == hist
-    grid = (S // lanes,)
-    kernel = functools.partial(_lpc2w33_kernel, hist=hist, unroll=unroll)
-    spec = lambda r: pl.BlockSpec((r, lanes), lambda i: (0, i),  # noqa: E731
-                                  memory_space=pltpu.VMEM)
+    grid = (S // lanes, B // tt)
+    kernel = functools.partial(_lpc2w33_kernel, hist=hist,
+                               unroll=unroll, tt=tt)
+    tspec = lambda r: pl.BlockSpec((r, lanes), lambda i, j: (j, i),  # noqa: E731
+                                   memory_space=pltpu.VMEM)
+    cspec = lambda r: pl.BlockSpec((r, lanes), lambda i, j: (0, i),  # noqa: E731
+                                   memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec(B), spec(B), spec(hist), spec(1), spec(1)],
-        out_specs=[spec(B), spec(B)],
+        in_specs=[tspec(tt), tspec(tt), cspec(hist), cspec(1), cspec(1)],
+        out_specs=[tspec(tt), tspec(tt)],
         out_shape=[
             out_struct((B, S), jnp.int32, rows_hi_t, rows_lo_t, cfwd_t,
                        shift, order),
             out_struct((B, S), jnp.int32, rows_hi_t, rows_lo_t, cfwd_t,
                        shift, order),
         ],
+        scratch_shapes=[pltpu.VMEM((hist, lanes), jnp.int32),
+                        pltpu.VMEM((hist, lanes), jnp.uint32)],
         interpret=interpret,
     )(rows_hi_t, rows_lo_t, cfwd_t, shift, order)
 
