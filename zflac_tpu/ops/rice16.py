@@ -98,9 +98,18 @@ def _unpack16_math(win, meta):
         active = valid & (j >= skip)
         wi = pos >> 5
         b = (pos & 31).astype(jnp.uint32)
-        w0 = _select_word(win, wi, 0, W - 3)
-        w1 = _select_word(win, wi + 1, 1, W - 2)
-        w2 = _select_word(win, wi + 2, 2, W - 1)
+        # Tight fetch bounds: before residual j, pos <= pos0 + 64*j
+        # (the host envelope caps every residual at q + 1 + k <= 64
+        # bits) and pos0 < 32, so wi <= (31 + 64*j) >> 5. Residual 0's
+        # rows are static (wi == 0); later residuals walk shorter
+        # select chains than the worst case.
+        hi = min((31 + 64 * j) >> 5, W - 3)
+        if hi == 0:
+            w0, w1, w2 = win[0:1], win[1:2], win[2:3]
+        else:
+            w0 = _select_word(win, wi, 0, hi)
+            w1 = _select_word(win, wi + 1, 1, hi + 1)
+            w2 = _select_word(win, wi + 2, 2, hi + 2)
         # (x >> 1) >> (31 - b) == x >> (32 - b), defined for b == 0.
         chunk = (w0 << b) | ((w1 >> 1) >> (jnp.uint32(31) - b))
         chunk2 = (w1 << b) | ((w2 >> 1) >> (jnp.uint32(31) - b))
