@@ -41,7 +41,12 @@ def _rows_from_pack2(ck):
     win = buf[off["win"]:off["win"] + W * NGp].view(np.uint32)
     win = win.reshape(W, NGp)
     meta = buf[off["meta"]:off["meta"] + NGp].reshape(1, NGp)
-    out = np.asarray(jax.jit(_unpack16_math)(win, meta))
+    out = np.array(jax.jit(_unpack16_math)(win, meta))
+    # Patches land in the kernel layout (pre-transpose); the sentinel
+    # is the spare last padded slot, discarded by the rows slice.
+    pidx = buf[off["pidx"]:off["pidx"] + ck.n_patch_p]
+    pval = buf[off["pval"]:off["pval"] + ck.n_patch_p]
+    out.reshape(-1)[pidx] = pval
     rows = out[:, :Ss * GPB].T.reshape(Ss, GPB * G2)[:, :Bp]
     order = buf[off["order"]:off["order"] + Ss]
     warmlen = buf[off["warmlen"]:off["warmlen"] + Ss]
@@ -50,12 +55,6 @@ def _rows_from_pack2(ck):
     warm_p = np.zeros((Ss, Bp), np.int32)
     warm_p[:, :32] = warm
     rows = np.where(col < warmlen[:, None], warm_p, rows)
-    pidx = buf[off["pidx"]:off["pidx"] + ck.n_patch_p]
-    pval = buf[off["pval"]:off["pval"] + ck.n_patch_p]
-    flat = rows.reshape(-1)
-    m = pidx < Ss * Bp
-    flat[pidx[m]] = pval[m]
-    rows = flat.reshape(Ss, Bp)
     bssub = buf[off["bssub"]:off["bssub"] + Ss]
     rows = np.where(col < bssub[:, None], rows, 0)
     assert int(order.max(initial=0)) <= 32

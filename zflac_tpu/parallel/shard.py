@@ -258,7 +258,8 @@ def repack_common(cks, num_devices: int):
     # Empty-device fill: invalid groups, OOB patch indices, sentinel
     # permutation entries (all land in the dead row / dropped slot).
     bufs[:, off["meta"]:off["meta"] + NGp] = K2_INVALID << 5
-    bufs[:, off["pidx"]:off["pidx"] + n_patch_p] = Ssort * Bp
+    from ..ops.rice16 import G2
+    bufs[:, off["pidx"]:off["pidx"] + n_patch_p] = G2 * NGp - 1
     bufs[:, off["inv"]:off["inv"] + Sp] = Ssort
     for d, ck in enumerate(cks):
         bufs[d, :] = ck.device_buf

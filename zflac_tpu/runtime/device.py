@@ -57,6 +57,17 @@ def _sect(buf, off: int, n: int):
     return jax.lax.dynamic_slice_in_dim(buf, off, n)
 
 
+def _patch_kernel_layout(out, pidx, pval, G2: int, NGp: int):
+    """Scatter scan-recorded patch values into the rice16 kernel
+    output [G2, NGp]. Indices (incl. the sentinel) are in-bounds by
+    construction (pack2_helpers.inc emits them against the padded
+    geometry); the min() guard keeps a corrupt buffer shift-safe."""
+    flat = out.reshape(-1)
+    safe = jnp.minimum(pidx, jnp.int32(G2 * NGp - 1))
+    return flat.at[safe].set(pval,
+                             mode="promise_in_bounds").reshape(G2, NGp)
+
+
 def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
                             container_bits: int, do_decorrelate: bool,
                             use_pallas: bool, stage: str = "full"):
@@ -116,6 +127,13 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
         # beyond "unpack" are not individually profiled.
         return _reconstruct_pack2_wide33(
             buf, out, spec=spec, use_pallas=use_pallas)
+    # Patches apply in the KERNEL layout, pre-transpose: the scan
+    # emits flat [G2 * NGp] indices whose sentinel is the always-spare
+    # last padded slot (discarded by the rows slice), so the scatter
+    # is in-bounds by construction — no canvas copies. Patches never
+    # target the warm region (all patch positions are >= order), so
+    # the warm splice can come after.
+    out = _patch_kernel_layout(out, pidx, pval, G2, NGp)
     rows = out[:, :Ssort * GPB].T.reshape(Ssort, GPB * G2)
     rows = rows[:, :Bp] if GPB * G2 >= Bp else jnp.pad(
         rows, ((0, 0), (0, Bp - GPB * G2)))
@@ -123,8 +141,6 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
     col = jax.lax.broadcasted_iota(jnp.int32, (Ssort, Bp), 1)
     warm_p = jnp.pad(warm, ((0, 0), (0, Bp - 32)))
     rows = jnp.where(col < warmlen[:, None], warm_p, rows)
-    rows = scatter_flat(rows.reshape(-1), pidx, pval)
-    rows = rows.reshape(Ssort, Bp)
     rows = jnp.where(col < bssub[:, None], rows, 0)
     if stage == "rows":
         return rows
@@ -291,10 +307,17 @@ def _reconstruct_pack2_wide33(buf, out, *, spec, use_pallas: bool):
     pval_h = _sect(buf, off["pval_hi"], n_patch_p)
     inv = _sect(buf, off["inv"], Sp)
 
-    rows_l = out[:, :Ssort * GPB].T.reshape(Ssort, GPB * G2)
-    rows_l = rows_l[:, :Bp] if GPB * G2 >= Bp else jnp.pad(
-        rows_l, ((0, 0), (0, Bp - GPB * G2)))
-    rows_h = rows_l >> 31  # residuals are int32-exact: hi = sign
+    out_h = out >> 31  # residuals are int32-exact: hi = sign
+    out = _patch_kernel_layout(out, pidx, pval_l, G2, NGp)
+    out_h = _patch_kernel_layout(out_h, pidx, pval_h, G2, NGp)
+
+    def to_rows(o):
+        r = o[:, :Ssort * GPB].T.reshape(Ssort, GPB * G2)
+        return r[:, :Bp] if GPB * G2 >= Bp else jnp.pad(
+            r, ((0, 0), (0, Bp - GPB * G2)))
+
+    rows_l = to_rows(out)
+    rows_h = to_rows(out_h)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (Ssort, Bp), 1)
     wpad_l = jnp.pad(warm_l, ((0, 0), (0, Bp - 32)))
@@ -302,10 +325,6 @@ def _reconstruct_pack2_wide33(buf, out, *, spec, use_pallas: bool):
     in_warm = col < warmlen[:, None]
     rows_l = jnp.where(in_warm, wpad_l, rows_l)
     rows_h = jnp.where(in_warm, wpad_h, rows_h)
-    rows_l = scatter_flat(rows_l.reshape(-1), pidx,
-                          pval_l).reshape(Ssort, Bp)
-    rows_h = scatter_flat(rows_h.reshape(-1), pidx,
-                          pval_h).reshape(Ssort, Bp)
     live = col < bssub[:, None]
     rows_l = jnp.where(live, rows_l, 0)
     rows_h = jnp.where(live, rows_h, 0)
