@@ -49,7 +49,12 @@ def _rows_from_pack2(ck):
     out.reshape(-1)[pidx] = pval
     rows = out[:, :Ss * GPB].T.reshape(Ss, GPB * G2)[:, :Bp]
     order = buf[off["order"]:off["order"] + Ss]
+    warmlen = buf[off["warmlen"]:off["warmlen"] + Ss]
+    warm = buf[off["warm"]:off["warm"] + Ss * 32].reshape(Ss, 32)
     col = np.arange(Bp)[None, :]
+    warm_p = np.zeros((Ss, Bp), np.int32)
+    warm_p[:, :32] = warm
+    rows = np.where(col < warmlen[:, None], warm_p, rows)
     bssub = buf[off["bssub"]:off["bssub"] + Ss]
     rows = np.where(col < bssub[:, None], rows, 0)
     assert int(order.max(initial=0)) <= 32

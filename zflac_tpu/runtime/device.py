@@ -105,6 +105,8 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
     shift = _sect(buf, off["shift"], Ssort)
     cfwd = _sect(buf, off["cfwd"], Ssort * 32).reshape(Ssort, 32)
     seeds = _sect(buf, off["seeds"], Ssort * 4).reshape(Ssort, 4)
+    warm = _sect(buf, off["warm"], Ssort * 32).reshape(Ssort, 32)
+    warmlen = _sect(buf, off["warmlen"], Ssort)
     bssub = _sect(buf, off["bssub"], Ssort)
     chcode = _sect(buf, off["chcode"], Fp)
     pidx = _sect(buf, off["pidx"], n_patch_p)
@@ -128,15 +130,20 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
     # Patches apply in the KERNEL layout, pre-transpose: the scan
     # emits flat [G2 * NGp] indices whose sentinel is the always-spare
     # last padded slot (discarded by the rows slice), so the scatter
-    # is in-bounds by construction — no canvas copies. Warm-up values
-    # ride the same patch list (their positions sit before the first
-    # group, where the kernel extracts zeros), so no splice pass.
+    # is in-bounds by construction — no canvas copies. Patches never
+    # target the warm region (all patch positions are >= order), so
+    # the warm splice can come after. (Warm-ups deliberately do NOT
+    # ride the patch list: ~8 patch rows per subframe turned the
+    # scatter into thousands of serialized one-element DMA updates —
+    # measured ~0.8 ms slower than this select pass.)
     out = _patch_kernel_layout(out, pidx, pval, G2, NGp)
     rows = out[:, :Ssort * GPB].T.reshape(Ssort, GPB * G2)
     rows = rows[:, :Bp] if GPB * G2 >= Bp else jnp.pad(
         rows, ((0, 0), (0, Bp - GPB * G2)))
 
     col = jax.lax.broadcasted_iota(jnp.int32, (Ssort, Bp), 1)
+    warm_p = jnp.pad(warm, ((0, 0), (0, Bp - 32)))
+    rows = jnp.where(col < warmlen[:, None], warm_p, rows)
     rows = jnp.where(col < bssub[:, None], rows, 0)
     if stage == "rows":
         return rows
@@ -293,6 +300,9 @@ def _reconstruct_pack2_wide33(buf, out, *, spec, use_pallas: bool):
     cfwd = _sect(buf, off["cfwd"], Ssort * 32).reshape(Ssort, 32)
     seeds_l = _sect(buf, off["seeds"], Ssort * 4).reshape(Ssort, 4)
     seeds_h = _sect(buf, off["seeds_hi"], Ssort * 4).reshape(Ssort, 4)
+    warm_l = _sect(buf, off["warm"], Ssort * 32).reshape(Ssort, 32)
+    warm_h = _sect(buf, off["warm_hi"], Ssort * 32).reshape(Ssort, 32)
+    warmlen = _sect(buf, off["warmlen"], Ssort)
     bssub = _sect(buf, off["bssub"], Ssort)
     chcode = _sect(buf, off["chcode"], Fp)
     pidx = _sect(buf, off["pidx"], n_patch_p)
@@ -313,6 +323,11 @@ def _reconstruct_pack2_wide33(buf, out, *, spec, use_pallas: bool):
     rows_h = to_rows(out_h)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (Ssort, Bp), 1)
+    wpad_l = jnp.pad(warm_l, ((0, 0), (0, Bp - 32)))
+    wpad_h = jnp.pad(warm_h, ((0, 0), (0, Bp - 32)))
+    in_warm = col < warmlen[:, None]
+    rows_l = jnp.where(in_warm, wpad_l, rows_l)
+    rows_h = jnp.where(in_warm, wpad_h, rows_h)
     live = col < bssub[:, None]
     rows_l = jnp.where(live, rows_l, 0)
     rows_h = jnp.where(live, rows_h, 0)
