@@ -156,15 +156,23 @@ def main():
     else:
         t_engine = best_time(lambda: zflac_tpu.decode(data))
         engine_msps = total / t_engine / 1e6
+        t_cpu = 0.0
         vs = 0.0
 
     chip16, chip24 = tpu_chip_msps(data)
+    # Absolute wall times ride in the artifact so a BENCH_r{N} reader
+    # can separate VM steal-time drift (both absolutes move, ratio
+    # stable) from a real engine regression (engine absolute moves) —
+    # r4 verdict: the two-endpoint ratio alone cannot distinguish them.
     print(json.dumps({
         "metric": "decode_throughput",
         "value": round(engine_msps, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(vs, 3),
         "engine": r.stats.get("engine", "unknown"),
+        "engine_wall_ms": round(t_engine * 1e3, 2),
+        "baseline_wall_ms": round(t_cpu * 1e3, 2),
+        "bench_samples": int(total),
         "tpu_chip_msps": round(chip16, 1),
         "tpu_chip_msps_24": round(chip24, 1),
     }))

@@ -151,6 +151,35 @@ def test_lpc2_kernel_interpret_matches_scan():
     np.testing.assert_array_equal(np.asarray(out).T, ref)
 
 
+@pytest.mark.parametrize("B", [640, 1152, 2304])
+def test_lpc2_kernel_non_pow2_block(B):
+    """Padded block sizes that are 128-multiples but NOT divisible by
+    512 (FLAC blocks 576/1152/2304) must still tile: the time tile is
+    gcd(Bp, 512), not min (ADVICE r4 crash)."""
+    import jax
+    import jax.numpy as jnp
+    from zflac_tpu.ops.lpc2 import lpc2_lanes, lpc2_reconstruct_inline
+    from zflac_tpu.runtime.reconstruct import _lpc_scan
+
+    assert lpc2_lanes(128, B) is not None
+    rng = np.random.default_rng(B)
+    n, hist = 128, 8
+    rows = rng.integers(-3000, 3000, (n, B)).astype(np.int32)
+    order = rng.integers(1, hist + 1, n).astype(np.int32)
+    shift = rng.integers(0, 14, n).astype(np.int32)
+    cf = np.zeros((n, 32), np.int32)
+    for i in range(n):
+        cf[i, :order[i]] = rng.integers(-2048, 2048, order[i])
+    ref = np.asarray(jax.jit(_lpc_scan)(
+        jnp.asarray(rows), jnp.asarray(cf[:, ::-1].copy()),
+        jnp.asarray(shift), jnp.asarray(order)))
+    out = lpc2_reconstruct_inline(
+        jnp.asarray(rows.T), jnp.asarray(cf[:, :hist].T.copy()),
+        jnp.asarray(shift[None, :]), jnp.asarray(order[None, :]),
+        lanes=128, hist=hist, unroll=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out).T, ref)
+
+
 def test_rice16_meta_packing_sanity(corpus):
     """Group metadata invariants: valid groups carry pos0 in [0, 32),
     k in [0, 32) or escape, skip <= order."""

@@ -84,14 +84,27 @@ def test_declared_total_cuts_at_frame_boundary():
                                 total_samples_fudge=declared - 3072))
     with pytest.raises(err.InvalidChecksum):
         zflac_tpu.decode(data)
-    for eng in ("oracle", "native", "tpu"):
-        r = zflac_tpu.decode(data, engine=eng, verify_md5=False)
+    # "oracle" is NOT a decode() engine (r4 verdict: the string fell
+    # through to the tpu path and the oracle was never exercised here).
+    runs = [zflac_tpu.decode_oracle(data, verify_md5=False)]
+    runs += [zflac_tpu.decode(data, engine=eng, verify_md5=False)
+             for eng in ("native", "tpu")]
+    for r in runs:
         assert r.num_samples == declared
         np.testing.assert_array_equal(
             r.interleaved, expected_output(pcm[:declared], 16))
+    # Plain fixed-predictor 16-bit stereo is squarely inside the pack2
+    # envelope: a decline would silently skip the device-path check.
     dd = decode_to_device(data)
-    if dd is not None:
-        host = dd.to_host(verify_md5=False)
-        assert host.num_samples == declared
-        np.testing.assert_array_equal(
-            host.interleaved, expected_output(pcm[:declared], 16))
+    assert dd is not None, "pack2 declined an admissible stream"
+    host = dd.to_host(verify_md5=False)
+    assert host.num_samples == declared
+    np.testing.assert_array_equal(
+        host.interleaved, expected_output(pcm[:declared], 16))
+
+
+def test_unknown_engine_rejected():
+    pcm = tone_mix(64, 1, 16, seed=5)
+    data = encode(pcm, 44100, 16, EncoderConfig(block_size=64))
+    with pytest.raises(ValueError, match="unknown engine"):
+        zflac_tpu.decode(data, engine="oracle")

@@ -72,9 +72,19 @@ def main():
 
     res = {"device": str(jax.devices()[0]), "bps": bps,
            "true_samples": int(true_samples), "stages_ms": {}}
+    # Wide (33-bit) chunks only implement the "unpack" and "full"
+    # truncation points (runtime/device.py handles wide chunks in
+    # _reconstruct_pack2_wide33, which has no intermediate stages);
+    # reporting the others would show the full graph's time under a
+    # stage label, reading as zero-cost stages (ADVICE r4).
+    stages = ("unpack", "rows", "stack", "signal", "full")
+    if ck.wide:
+        skipped = [s for s in stages if s not in ("unpack", "full")]
+        _log(f"wide chunk: stages {skipped} not supported, skipping")
+        stages = ("unpack", "full")
     prev = 0.0
     full_ms = None
-    for stage in ("unpack", "rows", "stack", "signal", "full"):
+    for stage in stages:
         core = functools.partial(
             _reconstruct_pack2_core, spec=ck.spec_key(),
             num_channels=ck.C,

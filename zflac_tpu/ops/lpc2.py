@@ -31,6 +31,7 @@ Wider streams take the XLA scan path.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -95,7 +96,11 @@ def lpc2_reconstruct_inline(rows_t, cfwd_t, shift, order, *,
     reconstructed signal [B, S] int32. Not jitted: inline under the
     caller's jit."""
     B, S = rows_t.shape
-    tt = min(tt, B)
+    # tt must DIVIDE B: B is a multiple of 128 (the 128-padded block
+    # bucket), so gcd(B, tt) >= 128 and stays a multiple of `unroll`.
+    # min(tt, B) alone crashes on Bp values like 640/1152/2304
+    # (classic FLAC block sizes 576/1152/2304 after padding).
+    tt = math.gcd(B, tt)
     assert S % lanes == 0 and B % tt == 0 and tt % unroll == 0
     assert unroll % 8 == 0, "sublane alignment requires unroll % 8 == 0"
     assert cfwd_t.shape[0] == hist
@@ -129,7 +134,7 @@ def lpc2_lanes(n: int, B: int) -> int | None:
     VMEM, or None when nothing fits — the caller falls back to the XLA
     scan path. With time tiling the block footprint is
     2 x (in + out) x (tt x lanes) words, independent of B."""
-    tt = min(512, B)
+    tt = math.gcd(B, 512)  # mirror of the kernels' tile computation
     for lanes in (512, 256, 128):
         if n % lanes == 0 and 4 * tt * lanes * 4 <= 12 * 2**20:
             return lanes

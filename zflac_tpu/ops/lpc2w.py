@@ -35,6 +35,7 @@ backends, keeping CPU tests and the TPU kernel on one implementation.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -139,7 +140,8 @@ def lpc2w_reconstruct_inline(rows_t, cfwd_t, shift, order, *,
     coefficients, shift/order [1, S]), 64-bit accumulator semantics.
     Not jitted: inline under the caller's jit."""
     B, S = rows_t.shape
-    tt = min(tt, B)
+    # gcd, not min: tt must divide B (see ops/lpc2.py).
+    tt = math.gcd(B, tt)
     assert S % lanes == 0 and B % tt == 0 and tt % unroll == 0
     assert unroll % 8 == 0, "sublane alignment requires unroll % 8 == 0"
     assert cfwd_t.shape[0] == hist
@@ -301,7 +303,8 @@ def lpc2w33_reconstruct_inline(rows_hi_t, rows_lo_t, cfwd_t, shift,
     (out_hi, out_lo) int32 [B, S]."""
     from .vma import out_struct
     B, S = rows_lo_t.shape
-    tt = min(tt, B)
+    # gcd, not min: tt must divide B (see ops/lpc2.py).
+    tt = math.gcd(B, tt)
     assert S % lanes == 0 and B % tt == 0 and tt % unroll == 0
     assert unroll % 8 == 0
     assert cfwd_t.shape[0] == hist

@@ -306,7 +306,18 @@ def decode_pack2_distributed(data: bytes, check_crc: bool = False,
                          max_frames=FpU, force_fp=FpU, force_bp=BpU,
                          force_w=WU, force_class_np=cnpU,
                          force_patch_np=n_patch_pU, force_wide=wideU)
-        assert ck is not None and ck.landed == stop
+        # The union geometry only widens capacities, so a forced
+        # re-scan of a range that succeeded naturally must land at the
+        # same stop. A violation means the processes would disagree on
+        # the buffer layout — raising here (in every process, since the
+        # inputs are identical) is the only safe outcome; silently
+        # proceeding would produce corrupt PCM, and a unilateral
+        # fallback would deadlock the collectives. Not an assert: must
+        # survive python -O (ADVICE r4).
+        if ck is None or ck.landed != stop:
+            raise InvalidFrameHeader(
+                f"pack2 union re-scan of [{a}, {stop}) landed at "
+                f"{getattr(ck, 'landed', None)} (geometry mismatch)")
         cks2.append(ck)
     live_cks = [ck for ck in cks2 if ck is not None]
     bufs, spec = repack_common(live_cks, L)
@@ -365,7 +376,16 @@ def decode_pack2_distributed(data: bytes, check_crc: bool = False,
               else np.zeros(0, np.int32))
     out32 = (np.concatenate(parts) if parts
              else np.zeros(0, np.int32))
-    assert psum_total == int(all_bs.sum(dtype=np.int64)) * C
+    # Cross-process completeness invariant: the on-mesh psum of decoded
+    # samples must equal the gathered frame tables' total. A mismatch
+    # means a device decoded different geometry than its process
+    # reported — corrupt-PCM territory, so fail loudly even under
+    # python -O (ADVICE r4: was a bare assert).
+    if psum_total != int(all_bs.sum(dtype=np.int64)) * C:
+        raise InvalidChecksum(
+            f"pack2 distributed sample-count mismatch: psum "
+            f"{psum_total} != frame tables "
+            f"{int(all_bs.sum(dtype=np.int64)) * C}")
 
     # Reference stop semantics (zflac.zig:343-350,394-402).
     decoded = int(all_bs.sum(dtype=np.int64))

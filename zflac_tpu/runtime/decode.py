@@ -611,6 +611,12 @@ def decode(data: bytes, check_crc: bool = False, verify_md5: bool = True,
     Rice extraction in the Pallas bit-unpack kernel on the accelerator
     (ops/rice.py) instead of uploading host-decoded residual rows.
     """
+    if engine not in ("auto", "tpu", "native"):
+        # Unknown strings must not fall through to a default path: a
+        # typo'd engine= would silently test the wrong engine.
+        raise ValueError(
+            f"unknown engine {engine!r}; expected 'auto', 'tpu', or "
+            "'native' (the scalar oracle is zflac_tpu.decode_oracle)")
     if engine == "auto":
         from ..index.native_indexer import native_available
         engine = "native" if (native_available() and prefer_native

@@ -99,8 +99,11 @@ def make_corpus() -> dict[str, tuple[bytes, np.ndarray, int, int]]:
     def add(name, pcm, sr, bps, cfg):
         corpus[name] = (encode(pcm, sr, bps, cfg), pcm, sr, bps)
 
-    # Block sizes (subset files 01-10).
-    for bsz in (16, 192, 254, 512, 725, 1000, 1937, 2304, 4096, 4608):
+    # Block sizes (subset files 01-10). 576 and 1152 pad to 640/1152 —
+    # 128-multiples NOT divisible by 512, pinning the LPC kernels' time
+    # tile to gcd(Bp, 512) (ADVICE r4: min(512, Bp) crashed on these).
+    for bsz in (16, 192, 254, 512, 576, 725, 1000, 1152, 1937, 2304,
+                4096, 4608):
         add(f"blocksize {bsz}",
             tone_mix(3 * bsz + bsz // 3, 2, 16, seed=bsz), 44100, 16,
             EncoderConfig(block_size=bsz))
