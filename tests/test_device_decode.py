@@ -33,24 +33,31 @@ _NAMES = sorted(make_corpus().keys())
 def _rows_from_pack2(ck):
     """Host-side reference reconstruction of residual rows from a
     packed chunk (the same math the device runs). The buffer is
-    CLASS-SORTED; the inv permutation restores stream order."""
+    CLASS-SORTED with v3 P-MAJOR group slots (slot = p * Ssort +
+    sorted): the flat kernel math output re-lays to the time-major
+    rows the device writes directly; the inv permutation restores
+    stream order."""
     import jax
     buf, off = ck.buf, ck.off
-    W, NGp, Bp, GPB, S = ck.W, ck.NGp, ck.Bp, ck.GPB, ck.S
+    W, NGp, Bp, S = ck.W, ck.NGp, ck.Bp, ck.S
     Ss = ck.Ssort
     win = buf[off["win"]:off["win"] + W * NGp].view(np.uint32)
     win = win.reshape(W, NGp)
     meta = buf[off["meta"]:off["meta"] + NGp].reshape(1, NGp)
     out = np.array(jax.jit(_unpack16_math)(win, meta))
-    # Patches land in the kernel layout (pre-transpose); the sentinel
-    # is the spare last padded slot, discarded by the rows slice.
+    GP1 = NGp // Ss
+    rows_t = out.reshape(G2, GP1, Ss).transpose(1, 0, 2).reshape(
+        GP1 * G2, Ss).copy()
+    # Patches land in the time-major layout (idx = pos * Ssort +
+    # sorted); the sentinel is the dead +1 p-row at Bp*Ssort,
+    # discarded by the [:Bp] slice.
     pidx = buf[off["pidx"]:off["pidx"] + ck.n_patch_p]
     pval = buf[off["pval"]:off["pval"] + ck.n_patch_p]
-    out.reshape(-1)[pidx] = pval
-    rows = out[:, :Ss * GPB].T.reshape(Ss, GPB * G2)[:, :Bp]
+    rows_t.reshape(-1)[pidx] = pval
+    rows = np.ascontiguousarray(rows_t[:Bp].T)    # [Ss, Bp] row-major
     order = buf[off["order"]:off["order"] + Ss]
     warmlen = buf[off["warmlen"]:off["warmlen"] + Ss]
-    warm = buf[off["warm"]:off["warm"] + Ss * 32].reshape(Ss, 32)
+    warm = buf[off["warm"]:off["warm"] + Ss * 32].reshape(32, Ss).T
     col = np.arange(Bp)[None, :]
     warm_p = np.zeros((Ss, Bp), np.int32)
     warm_p[:, :32] = warm

@@ -5,14 +5,14 @@ the same on-device fori_loop slope timing as tools/bench_tpu.py, so the
 delta between consecutive stages isolates what each piece of the graph
 costs on real hardware:
 
-    unpack   rice16 Pallas kernel (raw [G2, NGp] output)
-    rows     + sorted-row assembly: transpose, warm-up splice, patch
-               scatter, tail mask
-    stack    + per-class reconstruction on static slices (LPC kernel,
-               fixed cumsums)
-    signal   + the inv gather to stream order (general path)
-    full     the production graph: stereo plane gathers fused with
-             wasted shift / decorrelation / interleave pack
+    unpack     rice16 Pallas kernel (time-major [(GPB+1)*G2, Ssort])
+    rows       + patch scatter, warm-up splice, tail mask (elementwise)
+    stack      + per-class reconstruction on static lane slices (LPC
+                 kernel, fixed cumsums) — still time-major
+    transpose  + the ONE full-data relayout [Bp, Ssort+1]->[Ssort+1, Bp]
+    signal     + the inv gather to stream order (general path)
+    full       the production graph: stereo plane gathers fused with
+               wasted shift / decorrelation / interleave pack
 
 Usage: python tools/profile_pack2.py [--samples N] [--dispatches N]
        [--bps N]
@@ -77,7 +77,7 @@ def main():
     # _reconstruct_pack2_wide33, which has no intermediate stages);
     # reporting the others would show the full graph's time under a
     # stage label, reading as zero-cost stages (ADVICE r4).
-    stages = ("unpack", "rows", "stack", "signal", "full")
+    stages = ("unpack", "rows", "stack", "transpose", "signal", "full")
     if ck.wide:
         skipped = [s for s in stages if s not in ("unpack", "full")]
         _log(f"wide chunk: stages {skipped} not supported, skipping")

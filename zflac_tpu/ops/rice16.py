@@ -179,3 +179,65 @@ def rice16_unpack_inline(windows, meta, *, lanes: int = 2048,
 def rice16_unpack_tpu(windows, meta, lanes=2048, interpret=False):
     return rice16_unpack_inline(windows, meta, lanes=lanes,
                                 interpret=interpret)
+
+
+# ---------------------------------------------------------------------
+# v3 rows layout: the C++ scan emits groups P-MAJOR (slot = p * Ssort +
+# sorted subframe), so the kernel's output BlockSpec can write the
+# TIME-MAJOR residual array [(GPB+1)*G2, Ssort] directly — row
+# t = p*G2 + j is time, lane is the sorted subframe. This is the layout
+# the LPC kernels consume, so the [G2,NGp]->[Ssort,Bp] relayout and the
+# transposes around the LPC kernels (v2's dominant XLA glue) vanish.
+# ---------------------------------------------------------------------
+
+
+def rows_lanes(Ssort: int) -> int:
+    """Widest lane-block dividing Ssort (Ssort is a sum of pow2
+    multiples of 128, hence always a multiple of 128)."""
+    for cand in (2048, 1024, 512, 256):
+        if Ssort % cand == 0:
+            return cand
+    return 128
+
+
+def unpack16_rows_math(win, meta, *, Ssort: int):
+    """CPU reference of the rows-layout kernel: the flat [G2, NGp]
+    math output re-laid to time-major [(NGp/Ssort)*G2, Ssort]."""
+    W, NGp = win.shape
+    GP1 = NGp // Ssort
+    out = _unpack16_math(win, meta)
+    return out.reshape(G2, GP1, Ssort).transpose(1, 0, 2).reshape(
+        GP1 * G2, Ssort)
+
+
+def rice16_unpack_rows_inline(windows, meta, *, Ssort: int,
+                              lanes: int = 0, interpret: bool = False):
+    """windows: [W, NGp] uint32 with NGp = GP1 * Ssort (p-major slots);
+    meta: [1, NGp]. Returns time-major residuals [GP1 * G2, Ssort]
+    int32. Not jitted: inline under the caller's jit."""
+    W, NGp = windows.shape
+    assert NGp % Ssort == 0
+    GP1 = NGp // Ssort
+    if lanes <= 0:
+        lanes = rows_lanes(Ssort)
+    assert Ssort % lanes == 0
+    R = Ssort // lanes
+    grid = (NGp // lanes,)
+    return pl.pallas_call(
+        _rice16_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((W, lanes), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        # Flat lane-block i covers groups of p-row i // R, sorted-lane
+        # block i % R: the [G2, lanes] block lands at time rows
+        # (i // R) * G2 of the time-major output.
+        out_specs=pl.BlockSpec((G2, lanes), lambda i: (i // R, i % R),
+                               memory_space=pltpu.VMEM),
+        out_shape=out_struct((GP1 * G2, Ssort), jnp.int32, windows,
+                             meta),
+        interpret=interpret,
+    )(windows, meta)

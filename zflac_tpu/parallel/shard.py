@@ -252,14 +252,16 @@ def repack_common(cks, num_devices: int):
             raise ValueError("pack2 chunk specs diverge")
     off = dict(spec[9])
     NGp, n_patch_p, Sp, Bp = spec[5], spec[6], spec[1], spec[2]
+    GPB = spec[3]
     Ssort = sum(np_ for _, np_ in spec[8])
     L = len(ck0.device_buf)
     bufs = np.zeros((num_devices, L), np.int32)
-    # Empty-device fill: invalid groups, OOB patch indices, sentinel
-    # permutation entries (all land in the dead row / dropped slot).
+    # Empty-device fill: invalid groups, dead-row patch indices,
+    # sentinel permutation entries (all land in the dead row / dropped
+    # slot of the v3 time-major layout).
     bufs[:, off["meta"]:off["meta"] + NGp] = K2_INVALID << 5
     from ..ops.rice16 import G2
-    bufs[:, off["pidx"]:off["pidx"] + n_patch_p] = G2 * NGp - 1
+    bufs[:, off["pidx"]:off["pidx"] + n_patch_p] = GPB * G2 * Ssort
     bufs[:, off["inv"]:off["inv"] + Sp] = Ssort
     for d, ck in enumerate(cks):
         bufs[d, :] = ck.device_buf

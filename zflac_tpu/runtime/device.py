@@ -57,15 +57,18 @@ def _sect(buf, off: int, n: int):
     return jax.lax.dynamic_slice_in_dim(buf, off, n)
 
 
-def _patch_kernel_layout(out, pidx, pval, G2: int, NGp: int):
-    """Scatter scan-recorded patch values into the rice16 kernel
-    output [G2, NGp]. Indices (incl. the sentinel) are in-bounds by
-    construction (pack2_helpers.inc emits them against the padded
-    geometry); the min() guard keeps a corrupt buffer shift-safe."""
+def _patch_rows_layout(out, pidx, pval):
+    """Scatter scan-recorded patch values into the rice16 kernel's
+    time-major output [(GPB+1)*G2, Ssort] (flat idx = pos * Ssort +
+    sorted lane; sentinel = the first dead-row element). Indices are
+    in-bounds by construction (pack2_helpers.inc emits them against
+    the padded geometry); the min() guard keeps a corrupt buffer
+    shift-safe."""
+    nrows, Ssort = out.shape
     flat = out.reshape(-1)
-    safe = jnp.minimum(pidx, jnp.int32(G2 * NGp - 1))
-    return flat.at[safe].set(pval,
-                             mode="promise_in_bounds").reshape(G2, NGp)
+    safe = jnp.minimum(pidx, jnp.int32(nrows * Ssort - 1))
+    return flat.at[safe].set(
+        pval, mode="promise_in_bounds").reshape(nrows, Ssort)
 
 
 def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
@@ -81,18 +84,28 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
 
     The buffer is CLASS-SORTED (pack2_helpers.inc): subframes of one
     kernel class occupy a contiguous 128-padded block of the sorted
-    slot space, so every class reconstructs from a STATIC row slice (no
-    per-class gathers, no combine scatter) and ONE gather by the `inv`
-    permutation restores stream order — per channel plane for stereo,
-    fusing the wasted shift / decorrelation / interleave pack on the
-    gathered planes.
+    slot space, so every class reconstructs from a STATIC lane slice
+    (no per-class gathers, no combine scatter) and ONE gather by the
+    `inv` permutation restores stream order — per channel plane for
+    stereo, fusing the wasted shift / decorrelation / interleave pack
+    on the gathered planes.
+
+    v3 data flow is TIME-MAJOR end to end: the C++ scan emits groups
+    p-major, so the rice16 kernel writes [(GPB+1)*G2, Ssort] (time on
+    rows, sorted subframes on lanes) straight from its output
+    BlockSpec; the warm splice, live mask, fixed cumsums, and the LPC
+    kernels all consume that layout natively. The ONLY full-data
+    relayout left in the graph is the stack transpose feeding the
+    stream-order row gather (v2 paid three: kernel->rows transpose
+    plus .T in/out of every LPC class).
 
     `stage` truncates the graph for on-chip profiling
     (tools/profile_pack2.py): "unpack" returns the raw kernel output,
-    "rows" the assembled sorted residual rows, "stack" the
-    reconstructed sorted rows, "signal" the stream-order canvas;
+    "rows" the assembled time-major residual rows, "stack" the
+    reconstructed time-major stack, "signal" the stream-order canvas;
     "full" (production) the PCM."""
-    from ..ops.rice16 import G2, _unpack16_math, rice16_unpack_inline
+    from ..ops.rice16 import (G2, rice16_unpack_rows_inline,
+                              unpack16_rows_math)
     (Fp, Sp, Bp, GPB, W, NGp, n_patch_p, C, classes, off_items) = spec
     off = dict(off_items)
     Ssort = sum(np_ for _, np_ in classes)
@@ -103,9 +116,9 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
     order = _sect(buf, off["order"], Ssort)
     wasted = _sect(buf, off["wasted"], Sp)
     shift = _sect(buf, off["shift"], Ssort)
-    cfwd = _sect(buf, off["cfwd"], Ssort * 32).reshape(Ssort, 32)
-    seeds = _sect(buf, off["seeds"], Ssort * 4).reshape(Ssort, 4)
-    warm = _sect(buf, off["warm"], Ssort * 32).reshape(Ssort, 32)
+    cfwd_t = _sect(buf, off["cfwd"], Ssort * 32).reshape(32, Ssort)
+    seeds_t = _sect(buf, off["seeds"], Ssort * 4).reshape(4, Ssort)
+    warm_t = _sect(buf, off["warm"], Ssort * 32).reshape(32, Ssort)
     warmlen = _sect(buf, off["warmlen"], Ssort)
     bssub = _sect(buf, off["bssub"], Ssort)
     chcode = _sect(buf, off["chcode"], Fp)
@@ -113,11 +126,11 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
     pval = _sect(buf, off["pval"], n_patch_p)
     inv = _sect(buf, off["inv"], Sp)
 
-    # ---- residual rows from the bitstream windows ----
+    # ---- time-major residual rows from the bitstream windows ----
     if use_pallas:
-        out = rice16_unpack_inline(win, meta, lanes=2048)
+        out = rice16_unpack_rows_inline(win, meta, Ssort=Ssort)
     else:
-        out = _unpack16_math(win, meta)
+        out = unpack16_rows_math(win, meta, Ssort=Ssort)
     if stage == "unpack":
         return out
 
@@ -127,29 +140,27 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
         # beyond "unpack" are not individually profiled.
         return _reconstruct_pack2_wide33(
             buf, out, spec=spec, use_pallas=use_pallas)
-    # Patches apply in the KERNEL layout, pre-transpose: the scan
-    # emits flat [G2 * NGp] indices whose sentinel is the always-spare
-    # last padded slot (discarded by the rows slice), so the scatter
-    # is in-bounds by construction — no canvas copies. Patches never
-    # target the warm region (all patch positions are >= order), so
-    # the warm splice can come after. (Warm-ups deliberately do NOT
-    # ride the patch list: ~8 patch rows per subframe turned the
-    # scatter into thousands of serialized one-element DMA updates —
-    # measured ~0.8 ms slower than this select pass.)
-    out = _patch_kernel_layout(out, pidx, pval, G2, NGp)
-    rows = out[:, :Ssort * GPB].T.reshape(Ssort, GPB * G2)
-    rows = rows[:, :Bp] if GPB * G2 >= Bp else jnp.pad(
-        rows, ((0, 0), (0, Bp - GPB * G2)))
+    # Patches apply on the kernel output: flat time-major indices whose
+    # sentinel is the dead +1 p-row (discarded by the [:Bp] slice), so
+    # the scatter is in-bounds by construction — no canvas copies.
+    # Patches never target the warm region (all patch positions are
+    # >= order), so the warm splice can come after. (Warm-ups
+    # deliberately do NOT ride the patch list: ~8 patch rows per
+    # subframe turned the scatter into thousands of serialized
+    # one-element DMA updates — measured ~0.8 ms slower than this
+    # select pass.)
+    out = _patch_rows_layout(out, pidx, pval)
+    rows_t = out[:Bp]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (Ssort, Bp), 1)
-    warm_p = jnp.pad(warm, ((0, 0), (0, Bp - 32)))
-    rows = jnp.where(col < warmlen[:, None], warm_p, rows)
-    rows = jnp.where(col < bssub[:, None], rows, 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Bp, Ssort), 0)
+    warm_p = jnp.pad(warm_t, ((0, Bp - 32), (0, 0)))
+    rows_t = jnp.where(row < warmlen[None, :], warm_p, rows_t)
+    rows_t = jnp.where(row < bssub[None, :], rows_t, 0)
     if stage == "rows":
-        return rows
+        return rows_t
 
-    # ---- per-class reconstruction on static slices ----
-    from .reconstruct import _fixed_integrate, _lpc_scan
+    # ---- per-class reconstruction on static lane slices ----
+    from .reconstruct import _fixed_integrate_t, _lpc_scan
     # High-res (container int32, 17-32 bps) needs the reference's
     # 64-bit LPC accumulator (InterType i64, zflac.zig:314-319): route
     # LPC classes through the hi/lo wide kernel. Everything else in the
@@ -162,54 +173,54 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
     for name, np_ in classes:
         sl = slice(base, base + np_)
         base += np_
-        rows_c = rows[sl]
+        rc = rows_t[:, sl]                       # [Bp, np_] time-major
         if name == "const":
-            seg_out.append(jnp.broadcast_to(rows_c[:, 0:1], (np_, Bp)))
+            seg_out.append(jnp.broadcast_to(rc[0:1, :], (Bp, np_)))
             continue
         if name == "verbatim":
-            seg_out.append(rows_c)
+            seg_out.append(rc)
             continue
         if name == "fixed":
             seg_out.append(
-                _fixed_integrate(rows_c, order[sl], seeds[sl]))
+                _fixed_integrate_t(rc, order[sl], seeds_t[:, sl]))
             continue
         hist = hist_of[name]
         lanes = None
         if use_pallas:
             from ..ops.lpc2 import lpc2_lanes, lpc2_reconstruct_inline
             lanes = lpc2_lanes(np_, Bp)
+        args = (rc, cfwd_t[:hist, sl],
+                shift[sl][None, :], order[sl][None, :])
         if lanes is not None:
             if wide:
                 from ..ops.lpc2w import lpc2w_reconstruct_inline
                 out_l = lpc2w_reconstruct_inline(
-                    rows_c.T, cfwd[sl, :hist].T,
-                    shift[sl][None, :], order[sl][None, :],
-                    lanes=lanes, hist=hist, unroll=8).T
+                    *args, lanes=lanes, hist=hist, unroll=8)
             else:
                 out_l = lpc2_reconstruct_inline(
-                    rows_c.T, cfwd[sl, :hist].T,
-                    shift[sl][None, :], order[sl][None, :],
-                    lanes=lanes, hist=hist, unroll=8).T
+                    *args, lanes=lanes, hist=hist, unroll=8)
         elif wide:
             # Same wide step math as the kernel, as a lax.scan
             # (CPU tests / non-TPU backends).
             from ..ops.lpc2w import lpc2w_scan
-            out_l = lpc2w_scan(
-                rows_c.T, cfwd[sl, :hist].T,
-                shift[sl][None, :], order[sl][None, :], hist=hist).T
+            out_l = lpc2w_scan(*args, hist=hist)
         else:
             # XLA scan fallback (CPU tests / non-TPU backends); wants
-            # reversed coefficients [n, 32] (slot 31-j = c_{j+1}).
-            out_l = _lpc_scan(rows_c, cfwd[sl, ::-1],
-                              shift[sl], order[sl])
+            # row-major rows and reversed coefficients [n, 32].
+            out_l = _lpc_scan(rc.T, cfwd_t[:, sl].T[:, ::-1],
+                              shift[sl], order[sl]).T
         seg_out.append(out_l)
 
-    # Sorted processed rows + one dead zero row; `inv` (stream ->
-    # sorted, sentinel Ssort for padded stream slots) is in bounds by
-    # construction.
-    stack = jnp.concatenate(
-        seg_out + [jnp.zeros((1, Bp), jnp.int32)], axis=0)
+    # Time-major stack + one dead zero lane; `inv` (stream -> sorted,
+    # sentinel Ssort for padded stream slots) is in bounds by
+    # construction. The transpose to [Ssort + 1, Bp] is the graph's
+    # ONE full-data relayout, feeding the stream-order row gathers.
+    stack_t = jnp.concatenate(
+        seg_out + [jnp.zeros((Bp, 1), jnp.int32)], axis=1)
     if stage == "stack":
+        return stack_t
+    stack = stack_t.T
+    if stage == "transpose":
         return stack
 
     def decorrelate2(c0, c1):
@@ -284,12 +295,11 @@ def _reconstruct_pack2_wide33(buf, out, *, spec, use_pallas: bool):
     lo: uint32-as-int32) pair so 33-bit side-channel samples
     (zflac.zig:314-319's i64 InterType) stay exact through the LPC
     recurrence, fixed cumsums, wasted shift, and mid-side rounding.
-    Same class-sorted layout as the int32 path (static class slices,
-    one inv gather). Output: [Fp, Bp, 2] int32 (the 32-bit
-    container)."""
-    from ..ops.rice16 import G2
+    Same class-sorted TIME-MAJOR v3 layout as the int32 path (static
+    lane slices, one stack transpose + inv gather). Output:
+    [Fp, Bp, 2] int32 (the 32-bit container)."""
     from .wide import (_i32, _u32, decorrelate2_wide,
-                       fixed_integrate_wide, shl64)
+                       fixed_integrate_wide_t, shl64)
     (Fp, Sp, Bp, GPB, W, NGp, n_patch_p, C, classes, off_items) = spec
     off = dict(off_items)
     Ssort = sum(np_ for _, np_ in classes)
@@ -297,11 +307,11 @@ def _reconstruct_pack2_wide33(buf, out, *, spec, use_pallas: bool):
     order = _sect(buf, off["order"], Ssort)
     wasted = _sect(buf, off["wasted"], Sp)
     shift = _sect(buf, off["shift"], Ssort)
-    cfwd = _sect(buf, off["cfwd"], Ssort * 32).reshape(Ssort, 32)
-    seeds_l = _sect(buf, off["seeds"], Ssort * 4).reshape(Ssort, 4)
-    seeds_h = _sect(buf, off["seeds_hi"], Ssort * 4).reshape(Ssort, 4)
-    warm_l = _sect(buf, off["warm"], Ssort * 32).reshape(Ssort, 32)
-    warm_h = _sect(buf, off["warm_hi"], Ssort * 32).reshape(Ssort, 32)
+    cfwd_t = _sect(buf, off["cfwd"], Ssort * 32).reshape(32, Ssort)
+    seeds_lt = _sect(buf, off["seeds"], Ssort * 4).reshape(4, Ssort)
+    seeds_ht = _sect(buf, off["seeds_hi"], Ssort * 4).reshape(4, Ssort)
+    warm_lt = _sect(buf, off["warm"], Ssort * 32).reshape(32, Ssort)
+    warm_ht = _sect(buf, off["warm_hi"], Ssort * 32).reshape(32, Ssort)
     warmlen = _sect(buf, off["warmlen"], Ssort)
     bssub = _sect(buf, off["bssub"], Ssort)
     chcode = _sect(buf, off["chcode"], Fp)
@@ -311,24 +321,18 @@ def _reconstruct_pack2_wide33(buf, out, *, spec, use_pallas: bool):
     inv = _sect(buf, off["inv"], Sp)
 
     out_h = out >> 31  # residuals are int32-exact: hi = sign
-    out = _patch_kernel_layout(out, pidx, pval_l, G2, NGp)
-    out_h = _patch_kernel_layout(out_h, pidx, pval_h, G2, NGp)
+    out = _patch_rows_layout(out, pidx, pval_l)
+    out_h = _patch_rows_layout(out_h, pidx, pval_h)
+    rows_l = out[:Bp]
+    rows_h = out_h[:Bp]
 
-    def to_rows(o):
-        r = o[:, :Ssort * GPB].T.reshape(Ssort, GPB * G2)
-        return r[:, :Bp] if GPB * G2 >= Bp else jnp.pad(
-            r, ((0, 0), (0, Bp - GPB * G2)))
-
-    rows_l = to_rows(out)
-    rows_h = to_rows(out_h)
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (Ssort, Bp), 1)
-    wpad_l = jnp.pad(warm_l, ((0, 0), (0, Bp - 32)))
-    wpad_h = jnp.pad(warm_h, ((0, 0), (0, Bp - 32)))
-    in_warm = col < warmlen[:, None]
+    row = jax.lax.broadcasted_iota(jnp.int32, (Bp, Ssort), 0)
+    wpad_l = jnp.pad(warm_lt, ((0, Bp - 32), (0, 0)))
+    wpad_h = jnp.pad(warm_ht, ((0, Bp - 32), (0, 0)))
+    in_warm = row < warmlen[None, :]
     rows_l = jnp.where(in_warm, wpad_l, rows_l)
     rows_h = jnp.where(in_warm, wpad_h, rows_h)
-    live = col < bssub[:, None]
+    live = row < bssub[None, :]
     rows_l = jnp.where(live, rows_l, 0)
     rows_h = jnp.where(live, rows_h, 0)
 
@@ -339,19 +343,19 @@ def _reconstruct_pack2_wide33(buf, out, *, spec, use_pallas: bool):
     for name, np_ in classes:
         sl = slice(base, base + np_)
         base += np_
-        rc_h, rc_l = rows_h[sl], rows_l[sl]
+        rc_h, rc_l = rows_h[:, sl], rows_l[:, sl]   # [Bp, np_]
         if name == "const":
-            seg_h.append(jnp.broadcast_to(rc_h[:, 0:1], (np_, Bp)))
-            seg_l.append(jnp.broadcast_to(rc_l[:, 0:1], (np_, Bp)))
+            seg_h.append(jnp.broadcast_to(rc_h[0:1, :], (Bp, np_)))
+            seg_l.append(jnp.broadcast_to(rc_l[0:1, :], (Bp, np_)))
             continue
         if name == "verbatim":
             seg_h.append(rc_h)
             seg_l.append(rc_l)
             continue
         if name == "fixed":
-            oh, ol = fixed_integrate_wide(
+            oh, ol = fixed_integrate_wide_t(
                 rc_h, _u32(rc_l), order[sl],
-                seeds_h[sl], _u32(seeds_l[sl]))
+                seeds_ht[:, sl], _u32(seeds_lt[:, sl]))
             seg_h.append(oh)
             seg_l.append(_i32(ol))
             continue
@@ -360,7 +364,7 @@ def _reconstruct_pack2_wide33(buf, out, *, spec, use_pallas: bool):
         if use_pallas:
             from ..ops.lpc2 import lpc2_lanes
             lanes = lpc2_lanes(np_, Bp)
-        args = (rc_h.T, rc_l.T, cfwd[sl, :hist].T,
+        args = (rc_h, rc_l, cfwd_t[:hist, sl],
                 shift[sl][None, :], order[sl][None, :])
         if lanes is not None:
             from ..ops.lpc2w import lpc2w33_reconstruct_inline
@@ -369,12 +373,12 @@ def _reconstruct_pack2_wide33(buf, out, *, spec, use_pallas: bool):
         else:
             from ..ops.lpc2w import lpc2w33_scan
             oh, ol = lpc2w33_scan(*args, hist=hist)
-        seg_h.append(oh.T)
-        seg_l.append(ol.T)
+        seg_h.append(oh)
+        seg_l.append(ol)
 
-    zrow = jnp.zeros((1, Bp), jnp.int32)
-    stack_h = jnp.concatenate(seg_h + [zrow], axis=0)
-    stack_l = jnp.concatenate(seg_l + [zrow], axis=0)
+    zlane = jnp.zeros((Bp, 1), jnp.int32)
+    stack_h = jnp.concatenate(seg_h + [zlane], axis=1).T
+    stack_l = jnp.concatenate(seg_l + [zlane], axis=1).T
 
     # 33-bit subframes only exist on decorrelated stereo frames, so
     # C == 2 always holds here; process per channel plane.

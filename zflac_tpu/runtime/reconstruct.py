@@ -48,6 +48,22 @@ def _fixed_integrate(rows, order, seeds):
     return work
 
 
+def _fixed_integrate_t(rows_t, order, seeds_t):
+    """Time-major twin of _fixed_integrate (the pack2 v3 layout):
+    rows_t [B, n] warmup-seeded, order [n], seeds_t [4, n]. Cumsums run
+    along axis 0 (time)."""
+    B, n = rows_t.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, n), 0)
+    work = rows_t
+    for j in range(3, -1, -1):
+        active = (order > j)[None, :]
+        m = jnp.where(row < j, jnp.zeros_like(work),
+                      jnp.where(row == j, seeds_t[j:j + 1, :], work))
+        c = jnp.cumsum(m, axis=0, dtype=work.dtype)
+        work = jnp.where(active & (row >= j), c, work)
+    return work
+
+
 def _lpc_scan(rows, coeffs_rev, shift, order):
     """Batched LPC recurrence: rows [n, B] (warmups at t < order,
     residuals after), coeffs_rev [n, 32] (slot 31-j multiplies s[t-1-j]),

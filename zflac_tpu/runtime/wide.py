@@ -103,6 +103,28 @@ def fixed_integrate_wide(rows_h, rows_l, order, seeds_h, seeds_l):
     return wh, wl
 
 
+def fixed_integrate_wide_t(rows_h, rows_l, order, seeds_h_t, seeds_l_t):
+    """Time-major twin of fixed_integrate_wide (pack2 v3 layout):
+    rows [B, n] pairs, order [n], seeds [4, n] pairs (lo as uint32).
+    Cumsums run along axis 0 (time)."""
+    B, n = rows_h.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, n), 0)
+    wh, wl = rows_h, rows_l
+    zero_h = jnp.zeros_like(wh)
+    zero_l = jnp.zeros_like(wl)
+    for j in range(3, -1, -1):
+        active = (order > j)[None, :]
+        mh = jnp.where(row < j, zero_h,
+                       jnp.where(row == j, seeds_h_t[j:j + 1, :], wh))
+        ml = jnp.where(row < j, zero_l,
+                       jnp.where(row == j, seeds_l_t[j:j + 1, :], wl))
+        ch, cl = jax.lax.associative_scan(_pair_add, (mh, ml), axis=0)
+        keep = active & (row >= j)
+        wh = jnp.where(keep, ch, wh)
+        wl = jnp.where(keep, cl, wl)
+    return wh, wl
+
+
 def decorrelate2_wide(h0, l0, h1, l1, mode):
     """Stereo decorrelation (zflac.zig:553-578) on 64-bit pair planes.
     mode: [F, 1] channel code. Returns int32 planes (true L/R fit the
