@@ -292,25 +292,50 @@ def make_pack2_body(spec, num_channels: int, container_bits: int,
     return body
 
 
+def estimate_total_frames(data: bytes, pos: int, info,
+                          check_crc: bool = False):
+    """Frame-count estimate that does NOT trust STREAMINFO
+    total_samples (legal streams may declare 0 — the reference grows
+    its buffer, zflac.zig:394-402 — or a wrong value): probe-scan the
+    first ~64 frames and extrapolate from measured bytes/frame.
+    Returns an int >= 1, or None when even the probe declines."""
+    from ..index.native_indexer import pack2_range
+
+    nominal = max(info.min_block_size, 16)
+    if info.total_samples:
+        return -(-info.total_samples // nominal)
+    probe = pack2_range(data, pos, len(data), info, check_crc=check_crc,
+                        max_frames=64)
+    if probe is None or probe.F == 0:
+        return None
+    if probe.landed >= len(data):
+        return probe.F
+    bpf = max(1, (probe.landed - pos) // probe.F)
+    return max(probe.F, -(-(len(data) - pos) // bpf))
+
+
 def decode_to_device_sharded(data: bytes, mesh: Mesh,
-                             check_crc: bool = False):
+                             check_crc: bool = False,
+                             chunk_frames: int = 0):
     """Frame-parallel device-resident decode over a ('dp',) mesh using
-    the pack2 path: the stream is scanned into one packed chunk per
-    device, the [D, L] buffer array is sharded on its leading axis, and
-    each device runs the full unpack + reconstruction on its shard
-    under shard_map (no cross-device data dependencies: frames are
-    independent; a psum reduces the per-device sample counts as the
-    completeness check).
+    the pack2 path: the stream is scanned into packed chunks, the
+    [D, L] buffer array of each ROUND of D chunks is sharded on its
+    leading axis, and each device runs the full unpack +
+    reconstruction on its shard under shard_map (no cross-device data
+    dependencies: frames are independent; a psum reduces the
+    per-device sample counts as the completeness check). Streams
+    longer than one chunk per device dispatch ceil(chunks/D) rounds
+    through the SAME compiled executable (uniform spec across rounds);
+    unknown/wrong STREAMINFO totals are handled by probe-scan frame
+    estimation, not trusted metadata.
 
-    Returns (pcm [D, Fp, Bp, C] with 'dp'-sharded leading axis,
-    DeviceDecoded-style metadata dict). None when the fast path
-    declines."""
-    import functools
-
+    Returns (pcm_rounds: list of [D, Fp, Bp, C] arrays with
+    'dp'-sharded leading axes, DeviceDecoded-style metadata dict).
+    None when the fast path declines."""
     from ..bitio import BitReader
     from ..index.native_indexer import native_available, pack2_range
     from ..oracle import parse_metadata
-    from ..runtime.device import _bucket_block, _reconstruct_pack2_core
+    from ..runtime.device import _bucket_block
 
     if not native_available():
         return None
@@ -321,14 +346,24 @@ def decode_to_device_sharded(data: bytes, mesh: Mesh,
     pos = br.pos // 8
     D = mesh.devices.size
     Bp = _bucket_block(max(info.max_block_size, 16))
-    nominal = max(info.min_block_size, 16)
-    est_frames = -(-max(info.total_samples, 1) // nominal)
-    chunk_frames = _pad_pow2(max(1, -(-est_frames // D)))
+    if chunk_frames <= 0:
+        est_frames = estimate_total_frames(data, pos, info,
+                                           check_crc=check_crc)
+        if est_frames is None:
+            return None
+        chunk_frames = _pad_pow2(max(1, -(-est_frames // D)))
+        # Per-device memory cap (~64 MiB of padded rows per chunk):
+        # pod-scale streams (BASELINE.json config 5) dispatch multiple
+        # rounds instead of one oversized chunk per device.
+        while chunk_frames > 1 and \
+                chunk_frames * info.channel_count * Bp >= (1 << 25):
+            chunk_frames //= 2
 
+    # Pass 1: natural-geometry scan of the whole stream.
     cks = []
     chunk_starts = []
     force_w = 0
-    while pos < len(data) and len(cks) < D:
+    while pos < len(data):
         ck = pack2_range(data, pos, len(data), info, check_crc=check_crc,
                          max_frames=chunk_frames, force_fp=chunk_frames,
                          force_bp=Bp, force_w=force_w)
@@ -350,17 +385,18 @@ def decode_to_device_sharded(data: bytes, mesh: Mesh,
         if ck.landed <= pos:
             break
         pos = ck.landed
-    if not cks or pos < len(data):
-        return None  # estimate missed; caller falls back
+    if not cks:
+        return None
+    n_rounds = -(-len(cks) // D)
     _log_shard.debug(
-        "pack2 sharded: %d chunks over %d devices, %s frames/chunk, "
-        "Bp=%d", len(cks), D, [ck.F for ck in cks], Bp)
-    try:
-        bufs, spec = repack_common(cks, D)
-    except ValueError:
-        # Chunk specs diverge (class mixes / patch counts / wide flag
-        # differ): re-scan every chunk range with the forced union
-        # geometry so the class-sorted layouts coincide.
+        "pack2 sharded: %d chunks over %d devices in %d rounds, "
+        "%s frames/chunk, Bp=%d", len(cks), D, n_rounds,
+        [ck.F for ck in cks], Bp)
+    # One spec across ALL rounds (one compiled executable): if any
+    # chunk's natural spec diverges from the first, re-scan every
+    # chunk with the forced union geometry.
+    spec0 = cks[0].spec_key()
+    if any(ck.spec_key() != spec0 for ck in cks[1:]):
         cnp, pnp, wide_u = class_caps(cks)
         cks = [pack2_range(data, a, ck.landed, info,
                            check_crc=check_crc, max_frames=chunk_frames,
@@ -370,17 +406,25 @@ def decode_to_device_sharded(data: bytes, mesh: Mesh,
                for a, ck in zip(chunk_starts, cks)]
         if any(ck is None for ck in cks):
             return None
-        bufs, spec = repack_common(cks, D)
 
     use_pallas = all(d.platform == "tpu" for d in mesh.devices.flat)
     container_bits = fmt.container_bits(info.bits_per_sample)
     do_decor = any(ck.do_decorrelate for ck in cks)
+    spec = cks[0].spec_key()
     body = make_pack2_body(spec, cks[0].C, container_bits, do_decor,
                            use_pallas)
     fn = jax.jit(shard_map(
         body, mesh=mesh, in_specs=P("dp"), out_specs=(P("dp"), P("dp"))))
     sh = NamedSharding(mesh, P("dp"))
-    pcm, totals = fn(jax.device_put(bufs, sh))
+    pcm_rounds = []
+    totals = None
+    for r0 in range(0, len(cks), D):
+        bufs, _ = repack_common(cks[r0:r0 + D], D)
+        # Dispatches are asynchronous: round r+1's repack overlaps
+        # round r's device compute.
+        pcm_r, totals_r = fn(jax.device_put(bufs, sh))
+        pcm_rounds.append(pcm_r)
+        totals = totals_r if totals is None else totals + totals_r
 
     num_frames = [ck.F for ck in cks]
     block_sizes = [ck.f_block_size for ck in cks]
@@ -419,22 +463,28 @@ def decode_to_device_sharded(data: bytes, mesh: Mesh,
         "block_sizes": block_sizes,
         "md5": info.md5,
         "psum_samples": totals,
+        "rounds": len(pcm_rounds),
     }
-    return pcm, meta
+    return pcm_rounds, meta
 
 
 def sharded_to_host(pcm, meta):
     """Assemble a sharded pack2 result into interleaved host PCM
-    (pre-normalization domain), honoring per-frame block sizes."""
+    (pre-normalization domain), honoring per-frame block sizes. `pcm`
+    is the list of per-round [D, Fp, Bp, C] arrays (a single array is
+    accepted as one round); chunk i lives at round i // D, row i % D."""
     C = meta["channels"]
-    pcm = np.asarray(pcm)
+    rounds = pcm if isinstance(pcm, (list, tuple)) else [pcm]
+    rounds = [np.asarray(r) for r in rounds]
+    D = rounds[0].shape[0]
     parts = []
-    for d, (F, bs) in enumerate(zip(meta["num_frames"],
+    for i, (F, bs) in enumerate(zip(meta["num_frames"],
                                     meta["block_sizes"])):
-        p = pcm[d][:F]
+        p = rounds[i // D][i % D][:F]
         if F and np.all(bs == bs[0]):
             parts.append(p[:, :bs[0], :].reshape(-1)[:bs.sum() * C])
         else:
             for f in range(F):
                 parts.append(p[f, :bs[f], :].reshape(-1))
-    return np.concatenate(parts) if parts else pcm.reshape(0)
+    return (np.concatenate(parts) if parts
+            else rounds[0].reshape(0))

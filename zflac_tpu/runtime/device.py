@@ -490,9 +490,15 @@ def decode_to_device(data: bytes, check_crc: bool = False,
     Bp = _bucket_block(max(info.max_block_size, 16))
     if chunk_frames <= 0:
         # Whole-stream single dispatch up to ~64 MiB of padded rows;
-        # longer streams pipeline in fixed-size chunks.
-        nominal = max(info.min_block_size, 1024)
-        total_frames = -(-max(info.total_samples, 1) // nominal)
+        # longer streams pipeline in fixed-size chunks. The frame
+        # count comes from a probe scan when STREAMINFO declares no
+        # total (previously total=0 degenerated to one dispatch per
+        # frame), and nominal block size from the header floor.
+        from ..parallel.shard import estimate_total_frames
+        total_frames = estimate_total_frames(data, pos, info,
+                                             check_crc=check_crc)
+        if total_frames is None:
+            return None
         chunk_frames = 1
         while chunk_frames < total_frames and \
                 chunk_frames * info.channel_count * Bp < (1 << 24):
