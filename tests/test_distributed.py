@@ -73,13 +73,10 @@ def test_two_process_longstream(tmp_path, n_local):
     assert "'shards': 2" in logs[0] and "'processes': 2" in logs[0]
 
 
-@pytest.mark.parametrize("nprocs", [2, 4])
-def test_multi_process_pack2(tmp_path, nprocs):
-    """The FLAGSHIP pack2 device path across real process boundaries:
-    one packed chunk per global device, spec union exchanged between
-    processes, shard_map + psum on the global mesh (P=2 and P=4)."""
-    pcm = correlated_stereo(60000, 16, seed=12)
-    data = encode(pcm, 44100, 16, EncoderConfig(block_size=1024))
+def _run_pack2_distributed(tmp_path, data, nprocs, n_local):
+    """Spawn nprocs REAL processes with n_local virtual devices each,
+    decode via the pack2-distributed engine, and assert every process
+    produces the full stream bit-exactly vs the in-process decode."""
     stream = tmp_path / "stream.flac"
     stream.write_bytes(data)
 
@@ -92,7 +89,7 @@ def test_multi_process_pack2(tmp_path, nprocs):
             [sys.executable, "-m", "zflac_tpu.parallel.distributed",
              str(stream), str(out), coordinator, str(pid),
              str(nprocs), "pack2"],
-            env=_worker_env(1), cwd=REPO,
+            env=_worker_env(n_local), cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     logs = []
     for p in procs:
@@ -105,5 +102,52 @@ def test_multi_process_pack2(tmp_path, nprocs):
     for out, log in zip(outs, logs):
         got = np.load(out)
         np.testing.assert_array_equal(got, ref, err_msg=log)
-    assert f"'engine': 'pack2-distributed'" in logs[0], logs[0]
+    assert "'engine': 'pack2-distributed'" in logs[0], logs[0]
     assert f"'processes': {nprocs}" in logs[0]
+    return logs
+
+
+@pytest.mark.parametrize("nprocs", [2, 4])
+def test_multi_process_pack2(tmp_path, nprocs):
+    """The FLAGSHIP pack2 device path across real process boundaries:
+    one packed chunk per global device, spec union exchanged between
+    processes, shard_map + psum on the global mesh (P=2 and P=4)."""
+    pcm = correlated_stereo(60000, 16, seed=12)
+    data = encode(pcm, 44100, 16, EncoderConfig(block_size=1024))
+    _run_pack2_distributed(tmp_path, data, nprocs, 1)
+
+
+@pytest.mark.parametrize("n_local", [2, 4])
+def test_multi_process_pack2_two_level_mesh(tmp_path, n_local):
+    """The TWO-LEVEL ('hosts','chips') composition (SURVEY.md §2.3):
+    P=2 real processes x L local devices each, so
+    make_array_from_process_local_data assembles MULTIPLE local shards
+    per process and the psum crosses both mesh levels (r4 verdict gap
+    #2: this composition had zero executions)."""
+    pcm = correlated_stereo(60000, 16, seed=14)
+    data = encode(pcm, 44100, 16, EncoderConfig(block_size=1024))
+    logs = _run_pack2_distributed(tmp_path, data, 2, n_local)
+    # D = P*L byte-range shards were anchored.
+    assert f"'shards': {2 * n_local}" in logs[0], logs[0]
+
+
+@pytest.mark.parametrize("case", ["24bit", "32bit_mid_side", "8ch"])
+def test_multi_process_pack2_formats(tmp_path, case):
+    """Distributed format matrix beyond 16-bit stereo (r4 verdict gap
+    #3): 24-bit (hi/lo wide LPC), 32-bit mid-side (33-bit side
+    channels -> wide pair chunks; the spec-union exchange carries the
+    wide flag across processes), and 8-channel surround."""
+    from zflac_tpu.testing import tone_mix
+
+    if case == "24bit":
+        pcm = tone_mix(40000, 2, 24, seed=15)
+        data = encode(pcm, 96000, 24, EncoderConfig(block_size=1024))
+    elif case == "32bit_mid_side":
+        pcm = correlated_stereo(30000, 32, seed=16)
+        data = encode(pcm, 48000, 32,
+                      EncoderConfig(block_size=1024,
+                                    stereo_mode="mid_side"))
+    else:
+        pcm = tone_mix(20000, 8, 16, seed=17)
+        data = encode(pcm, 48000, 16, EncoderConfig(block_size=1024))
+    _run_pack2_distributed(tmp_path, data, 2, 1)
