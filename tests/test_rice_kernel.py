@@ -1,7 +1,10 @@
-"""TPU Rice/bit-unpack kernel: the measured-offset two-phase extraction
-(ops/rice.py) must reproduce the host-decoded residual rows bit-exactly
-across the corpus (int32 streams), including escaped partitions, deep
-partition orders, wasted bits, and short final frames."""
+"""Group-table differential tests: the C++ scan's measured-offset Rice
+group table, extracted via the reference math in ops/rice.py, must
+reproduce the host-decoded residual rows bit-exactly across the corpus
+(int32 streams), including escaped partitions, deep partition orders,
+wasted bits, and short final frames. (The production device extraction
+is the pack2 path, ops/rice16.py; this pins the group-recording walk
+the C++ scan shares with it.)"""
 
 import numpy as np
 import pytest

@@ -47,37 +47,6 @@ def _stream(bps, n, ch=2, block=1024):
     return pcm, encode(pcm, 48000, bps, EncoderConfig(block_size=block))
 
 
-def test_tpu_device_unpack_rows():
-    """Rows path with on-accelerator Rice extraction: the G8 bit-unpack
-    kernel (ops/rice.py) Mosaic-lowered on real hardware, bit-exact vs
-    the native host engine."""
-    import zflac_tpu
-
-    pcm, data = _stream(16, 8192)
-    ref = zflac_tpu.decode(data, engine="native")
-    with jax.default_device(_tpu()[0]):
-        r = zflac_tpu.decode(data, engine="tpu", device_unpack=True,
-                             prefer_native=False)
-    assert r.stats["path"] == "device_unpack"
-    np.testing.assert_array_equal(r.interleaved, ref.interleaved)
-
-
-def test_tpu_skim():
-    """Skim (measure-only index) path: no host residual rows; the
-    accelerator recomputes them from uploaded bitstream windows."""
-    import zflac_tpu
-    from zflac_tpu.index.native_indexer import native_available
-
-    if not native_available():
-        pytest.skip("native indexer unavailable")
-    pcm, data = _stream(16, 8192)
-    ref = zflac_tpu.decode(data, engine="native")
-    with jax.default_device(_tpu()[0]):
-        r = zflac_tpu.decode(data, engine="tpu", device_unpack=True)
-    assert r.stats["path"] == "skim"
-    np.testing.assert_array_equal(r.interleaved, ref.interleaved)
-
-
 @pytest.mark.parametrize("bps,ch,mode",
                          [(16, 2, None), (24, 2, None), (24, 8, None),
                           (32, 2, "independent"), (32, 2, "mid_side"),

@@ -1,53 +1,29 @@
-"""Pallas TPU Rice/bit-unpack kernel: residual extraction on the chip.
+"""CPU-reference math for the v1 measured-offset Rice group table.
 
-The bitstream is bit-serial, but with a *measured* offset table it
-parallelizes: while the host scan walks the stream (the only inherently
-sequential pass), it records the absolute bit offset of every G=8th
-residual plus the partition's Rice parameter (indexer emit_groups; cf.
-the Recoil-style two-phase design, SURVEY.md §7 fact 4 / PAPERS.md).
-Extraction then becomes data-parallel over groups:
+SUPERSEDED ON DEVICE by the pack2 path (ops/rice16.py + the C++
+pack2 scan): pack2 moved window assembly into the native scan and
+ships class-sorted packed buffers, removing the device-side window
+gather that dominated this design (PERF.md). What remains here is the
+*reference implementation* of group-table extraction — `_unpack_math`
+as plain XLA/numpy ops plus the host-side window gather — kept as the
+differential oracle for the C++ scan's group table (emit_groups;
+tests/test_rice_kernel.py). No Pallas kernel lives here anymore.
 
-  * the host gathers each group's bit window (W=12 u32 words) into a
-    dense [NG, W] array — smaller than the decoded rows (it is the
-    compressed bits), which also cuts the H2D transfer;
-  * the kernel decodes G residuals per group with pure vector ops:
-    unary via smear+SWAR-popcount CLZ, remainder via logical shifts,
-    zigzag decode, per-lane variable everything — groups on lanes,
-    8 sequential sub-steps.
-
-Escaped partitions (fixed-width raw residuals) ride the same kernel via
-per-group mode flags. Groups outside the kernel envelope (quotient > 40,
-span > 320 bits, unaligned partitions) are invalidated by the host and
-patched from the host rows.
-
-Mirrors the semantics of zflac.zig:635-666 / oracle._decode_residuals.
+The group-table design itself (measured bit offsets -> data-parallel
+extraction; SURVEY.md §7 fact 4) mirrors zflac.zig:635-666.
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-from .vma import out_struct
 
 G = 8           # residuals per group (indexer kGroupG)
 W = 12          # window words per group (kGroupWindowWords)
 K_ESCAPE = 0xFE
 K_INVALID = 0xFF
-
-
-def lanes_default(ng: int) -> int:
-    """Widest supported lane count dividing the padded group count."""
-    for lanes in (1024, 512, 256, 128):
-        if ng % lanes == 0:
-            return lanes
-    return 128
 
 
 def _clz32(u):
@@ -91,8 +67,7 @@ def _extract64(win, pos, max_word):
 
 
 def _unpack_math(win, pos0, k, depth, skip):
-    """Shared kernel body math (runs inside pallas and, via jnp on
-    host arrays, as the reference implementation). All inputs [*, L]:
+    """Reference group-extraction math (plain XLA ops). All inputs [*, L]:
     win [W, L] uint32, pos0/k/depth/skip [1, L] int32.
     Returns out [G, L] int32."""
     valid = (k != K_INVALID)
@@ -137,51 +112,8 @@ def _unpack_math(win, pos0, k, depth, skip):
 
 
 def pltpu_bitcast_i32(u):
-    """uint32 -> int32 bit reinterpretation (works in pallas and jnp)."""
+    """uint32 -> int32 bit reinterpretation."""
     return jax.lax.bitcast_convert_type(u, jnp.int32)
-
-
-def _rice_kernel(win_ref, pos_ref, k_ref, depth_ref, skip_ref, out_ref):
-    out_ref[:, :] = _unpack_math(
-        win_ref[:, :], pos_ref[:, :], k_ref[:, :], depth_ref[:, :],
-        skip_ref[:, :])
-
-
-def rice_unpack_inline(windows, pos0, k, depth, skip, *,
-                       lanes: int = 512, interpret: bool = False):
-    """windows: [W, NG] uint32; pos0/k/depth/skip: [1, NG] int32 with NG
-    a multiple of `lanes`. Returns residuals [G, NG] int32."""
-    Wd, NG = windows.shape
-    assert Wd == W and NG % lanes == 0
-    grid = (NG // lanes,)
-    return pl.pallas_call(
-        _rice_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((W, lanes), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((G, lanes), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=out_struct((G, NG), jnp.int32, windows, pos0,
-                             k, depth, skip),
-        interpret=interpret,
-    )(windows, pos0, k, depth, skip)
-
-
-@functools.partial(jax.jit, static_argnames=("lanes", "interpret"))
-def rice_unpack_tpu(windows, pos0, k, depth, skip, lanes=512,
-                    interpret=False):
-    return rice_unpack_inline(windows, pos0, k, depth, skip,
-                              lanes=lanes, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -226,13 +158,11 @@ def build_group_inputs(data: bytes, plan):
 
 
 def rows_from_groups(data: bytes, plan, lanes: int = 512,
-                     impl: str = "pallas", interpret: bool = False):
-    """Residual rows decoded on-device from the bitstream windows, with
-    host patching of invalid groups and warm-up positions. Returns
-    [S, B] int32 rows equivalent to plan.rows.
-
-    impl: "pallas" (TPU kernel) or "jnp" (the same math as plain XLA
-    ops — the CPU/testing path)."""
+                     impl: str = "jnp", interpret: bool = False):
+    """Residual rows decoded from the bitstream windows via the
+    reference group-table math, with host patching of invalid groups
+    and warm-up positions. Returns [S, B] int32 rows equivalent to
+    plan.rows (the differential check for the C++ group scan)."""
     if plan.groups is None:
         # No Rice-coded subframes (constant/verbatim-only stream).
         return plan.rows.astype(np.int32)
@@ -248,11 +178,8 @@ def rows_from_groups(data: bytes, plan, lanes: int = 512,
         depth = np.pad(depth, ((0, 0), (0, pad)))
         skip = np.pad(skip, ((0, 0), (0, pad)))
 
-    if impl == "jnp":
-        out = jax.jit(_unpack_math)(win, pos0, k, depth, skip)
-    else:
-        out = rice_unpack_tpu(win, pos0, k, depth, skip, lanes=lanes,
-                              interpret=interpret)
+    del impl, interpret  # single (reference) implementation remains
+    out = jax.jit(_unpack_math)(win, pos0, k, depth, skip)
     out = np.asarray(out)[:, :NG]                  # [G, NG]
     rows = out.T.reshape(S, GPB * G)[:, :plan.max_block]
 

@@ -140,274 +140,6 @@ def _run_reconstruct(plan: StreamPlan, async_: bool = False):
     return np.asarray(pcm)[:F]
 
 
-def _run_reconstruct_device(plan: StreamPlan, data: bytes,
-                            unpack_impl: str = "pallas"):
-    """Device-side unpack variant of _run_reconstruct: uploads the
-    bitstream windows + plan metadata instead of the decoded rows; Rice
-    extraction and reconstruction both run on the accelerator
-    (reconstruct_device_unpack). int32 streams only."""
-    from ..ops.rice import G, K_INVALID, build_group_inputs
-    from .reconstruct import reconstruct_device_unpack
-
-    assert plan.rows.dtype == np.int32
-    F = plan.num_frames
-    C = plan.channels
-    S = plan.num_subframes
-    B = plan.max_block
-    Bp = _bucket_block(B)
-    Fp = _pad_pow2(F)
-    Sp = Fp * C
-
-    if plan.groups is None:
-        return _run_reconstruct(plan)  # no Rice-coded subframes
-    win, pos0, gk, gdepth, gskip, valid = build_group_inputs(data, plan)
-    GPB = valid.shape[1]
-
-    # Pad subframe axis: group grid [S, GPB] -> [Sp, GPB] (invalid).
-    def pad_groups(a, fill=0):
-        out = np.full((Sp, GPB), fill, dtype=a.dtype)
-        out[:S] = a.reshape(S, GPB)
-        return out.reshape(1, -1)
-
-    win_p = np.zeros((win.shape[0], Sp * GPB), dtype=win.dtype)
-    win_p[:, :S * GPB] = win
-    pos0 = pad_groups(pos0[0])
-    gk = pad_groups(gk[0], fill=K_INVALID)
-    gdepth = pad_groups(gdepth[0])
-    gskip = pad_groups(gskip[0])
-    # Lane padding for the kernel grid.
-    NG = Sp * GPB
-    NGp = -(-NG // 1024) * 1024
-    if NGp != NG:
-        pad = NGp - NG
-        win_p = np.pad(win_p, ((0, 0), (0, pad)))
-        pos0 = np.pad(pos0, ((0, 0), (0, pad)))
-        gk = np.pad(gk, ((0, 0), (0, pad)), constant_values=K_INVALID)
-        gdepth = np.pad(gdepth, ((0, 0), (0, pad)))
-        gskip = np.pad(gskip, ((0, 0), (0, pad)))
-
-    def pad1(a, n, dtype=None):
-        out = np.zeros(n, dtype=dtype or a.dtype)
-        out[:len(a)] = a
-        return out
-
-    kind = pad1(plan.kind, Sp)
-    order = pad1(plan.order, Sp)
-    wasted = pad1(plan.wasted, Sp)
-    shift = pad1(plan.shift, Sp)
-    coeffs = np.zeros((Sp, 32), dtype=np.int32)
-    coeffs[:S] = plan.coeffs_rev
-    seeds = np.zeros((Sp, 4), dtype=plan.fixed_seeds.dtype)
-    seeds[:S] = plan.fixed_seeds
-    channel_code = pad1(plan.channel_code, Fp)
-    warmups = np.zeros((Sp, 32), np.int32)
-    warmups[:S, :min(32, B)] = plan.rows[:, :min(32, B)].astype(np.int32)
-    bs_sub = pad1(np.repeat(plan.block_size, C), Sp)
-
-    # Sparse patches for kernel-ineligible groups: true row values at
-    # positions the kernel cannot produce.
-    col = np.arange(Bp)[None, :]
-    gv = np.zeros((Sp, GPB), bool)
-    gv[:S] = valid
-    gv_cols = np.repeat(gv, G, axis=1)[:, :Bp] if GPB * G >= Bp else \
-        np.pad(np.repeat(gv, G, axis=1), ((0, 0), (0, Bp - GPB * G)))
-    order_p = order[:, None]
-    bs_p = bs_sub[:, None]
-    need = (~gv_cols) & (col >= order_p) & (col < bs_p)
-    need[S:] = False
-    rows_host = np.zeros((Sp, Bp), np.int32)
-    rows_host[:S, :B] = plan.rows
-    pidx = np.nonzero(need.reshape(-1))[0].astype(np.int32)
-    pval = rows_host.reshape(-1)[pidx]
-    n_p = max(1, _pad_pow2(len(pidx)))
-    patch_idx = np.full(n_p, Sp * Bp, np.int32)  # OOB sentinel
-    patch_idx[:len(pidx)] = pidx
-    patch_val = np.zeros(n_p, np.int32)
-    patch_val[:len(pidx)] = pval
-
-    import jax
-    try:
-        target = jax.config.jax_default_device or jax.devices()[0]
-        on_tpu = target.platform == "tpu"
-    except RuntimeError:
-        on_tpu = False
-    if not on_tpu:
-        unpack_impl = "jnp"
-    lpc_impl = "pallas" if (on_tpu and Bp <= 4096) else "scan"
-
-    class_idx = {}
-    for name, idx in plan.classes().items():
-        if len(idx) == 0:
-            continue
-        n = _pad_pow2(len(idx))
-        if name == "lpc" and lpc_impl == "pallas":
-            n = max(n, 128)
-        padded = np.full(n, Sp, dtype=np.int32)
-        padded[:len(idx)] = idx
-        class_idx[name] = padded
-
-    # Tunneled-TPU fast path: one buffer, one transfer, one dispatch.
-    from .pack import Packer
-    from .reconstruct import reconstruct_device_unpack_packed
-    p = Packer()
-    p.add("windows", win_p)
-    p.add("pos0", pos0)
-    p.add("gk", gk)
-    p.add("gdepth", gdepth)
-    p.add("gskip", gskip)
-    p.add("warmups", warmups)
-    p.add("patch_idx", patch_idx)
-    p.add("patch_val", patch_val)
-    p.add("kind", kind)
-    p.add("order", order)
-    p.add("wasted", wasted)
-    p.add("shift", shift)
-    p.add("coeffs", coeffs)
-    p.add("seeds", seeds)
-    p.add("channel_code", channel_code)
-    p.add("bs_sub", bs_sub)
-    for name, idx in class_idx.items():
-        p.add("ci_" + name, idx)
-    buf, spec = p.finish()
-    pcm = reconstruct_device_unpack_packed(
-        buf, spec=spec, class_names=tuple(sorted(class_idx)),
-        num_channels=C,
-        container_bits=fmt.container_bits(plan.info.bits_per_sample),
-        do_decorrelate=bool(
-            np.any(plan.channel_code > fmt.CH_INDEPENDENT_MAX)),
-        lpc_impl=lpc_impl, unpack_impl=unpack_impl, B=Bp, gpb=GPB,
-    )
-    return np.asarray(pcm)[:F]
-
-
-def _pack_skim(plan: StreamPlan, data: bytes, base_byte: int = 0):
-    """Build the packed single-buffer inputs for reconstruct_skim_packed
-    from a skim plan (rows=None). base_byte: stream offset of the words
-    upload (group bit offsets are rebased against it; the span must stay
-    under 2^28 bytes so relative bit offsets fit int32)."""
-    from ..ops.rice import G, K_INVALID
-    from .pack import Packer
-
-    F = plan.num_frames
-    C = plan.channels
-    S = plan.num_subframes
-    B = plan.max_block
-    Bp = _bucket_block(B)
-    Fp = _pad_pow2(F)
-    Sp = Fp * C
-    GPB = -(-Bp // G)
-
-    base_word = base_byte // 4
-    span = len(data) - base_word * 4
-    assert span * 8 < 2**31, "skim chunk exceeds int32 bit offsets"
-    tail = (-span) % 4 + 4 * 16
-    words = np.frombuffer(
-        data[base_word * 4:] + b"\x00" * tail, dtype=">u4"
-    ).astype(np.uint32)
-
-    off32 = np.full((Sp, GPB), -1, dtype=np.int32)
-    meta = np.full((Sp, GPB), K_INVALID, dtype=np.int32)
-    if plan.groups is not None:
-        g = plan.groups
-        gpb0 = g["off"].shape[1]
-        goff = g["off"] - np.int64(base_word) * 32
-        gk = g["k"].astype(np.int32)
-        gd = g["depth"].astype(np.int32)
-        bad = (g["off"] < 0) | (gk == K_INVALID)
-        off32[:S, :gpb0] = np.where(bad, -1, goff).astype(np.int32)
-        meta[:S, :gpb0] = np.where(bad, K_INVALID, gk | (gd << 8))
-
-    NG = Sp * GPB
-    NGp = -(-NG // 1024) * 1024
-    off32 = np.pad(off32.reshape(-1), (0, NGp - NG), constant_values=-1)
-    meta = np.pad(meta.reshape(-1), (0, NGp - NG),
-                  constant_values=K_INVALID)
-
-    def pad1(a, n, dtype=None):
-        out = np.zeros(n, dtype=dtype or a.dtype)
-        out[:len(a)] = a
-        return out
-
-    kind = pad1(plan.kind, Sp)
-    order = pad1(plan.order, Sp)
-    warmups = np.zeros((Sp, 32), np.int32)
-    warmups[:S] = plan.warmups
-    warm_len = np.where(kind == 0, 1, order).astype(np.int32)
-    bs_sub = pad1(np.repeat(plan.block_size, C), Sp)
-
-    p_sub, p_pos, p_val = plan.patches
-    pidx = p_sub.astype(np.int64) * Bp + p_pos
-    n_p = max(1, _pad_pow2(len(pidx)))
-    patch_idx = np.full(n_p, Sp * Bp, np.int32)
-    patch_idx[:len(pidx)] = pidx.astype(np.int32)
-    patch_val = np.zeros(n_p, np.int32)
-    patch_val[:len(p_val)] = p_val
-
-    coeffs = np.zeros((Sp, 32), dtype=np.int32)
-    coeffs[:S] = plan.coeffs_rev
-    seeds = np.zeros((Sp, 4), dtype=np.int32)
-    seeds[:S] = plan.fixed_seeds
-    channel_code = pad1(plan.channel_code, Fp)
-
-    p = Packer()
-    p.add("words", words)
-    p.add("off32", off32)
-    p.add("meta", meta)
-    p.add("warmups", warmups)
-    p.add("warm_len", warm_len)
-    p.add("patch_idx", patch_idx)
-    p.add("patch_val", patch_val)
-    p.add("kind", kind)
-    p.add("order", order)
-    p.add("wasted", pad1(plan.wasted, Sp))
-    p.add("shift", pad1(plan.shift, Sp))
-    p.add("coeffs", coeffs)
-    p.add("seeds", seeds)
-    p.add("channel_code", channel_code)
-    p.add("bs_sub", bs_sub)
-
-    class_idx = {}
-    for name, idx in plan.classes().items():
-        if len(idx) == 0:
-            continue
-        n = max(128, _pad_pow2(len(idx)))
-        padded = np.full(n, Sp, dtype=np.int32)
-        padded[:len(idx)] = idx
-        class_idx[name] = padded
-        p.add("ci_" + name, padded)
-    buf, spec = p.finish()
-    return buf, spec, tuple(sorted(class_idx)), Bp, GPB
-
-
-def _run_reconstruct_skim(plan: StreamPlan, data: bytes,
-                          async_: bool = False):
-    """Fully device-side phase 2 from a skim plan. Returns host PCM
-    [F, B, C], or the device array + F when async_."""
-    import jax
-
-    from .reconstruct import reconstruct_skim_packed
-
-    buf, spec, class_names, Bp, GPB = _pack_skim(plan, data)
-    try:
-        target = jax.config.jax_default_device or jax.devices()[0]
-        on_tpu = target.platform == "tpu"
-    except RuntimeError:
-        on_tpu = False
-    lpc_impl = "pallas" if (on_tpu and Bp <= 4096) else "scan"
-    unpack_impl = "pallas" if on_tpu else "jnp"
-
-    pcm = reconstruct_skim_packed(
-        buf, spec=spec, class_names=class_names,
-        num_channels=plan.channels,
-        container_bits=fmt.container_bits(plan.info.bits_per_sample),
-        do_decorrelate=bool(
-            np.any(plan.channel_code > fmt.CH_INDEPENDENT_MAX)),
-        lpc_impl=lpc_impl, unpack_impl=unpack_impl, B=Bp, gpb=GPB)
-    if async_:
-        return pcm, plan.num_frames
-    return np.asarray(pcm)[:plan.num_frames]
-
-
 def _assemble(plan: StreamPlan, pcm: np.ndarray) -> np.ndarray:
     """[F, B, C] frame-major PCM -> interleaved output, honoring
     per-frame block sizes."""
@@ -593,8 +325,7 @@ def _decode_native(data: bytes, check_crc: bool,
 
 def decode(data: bytes, check_crc: bool = False, verify_md5: bool = True,
            prefer_native: bool = True, safe_lpc: bool = False,
-           engine: str = "auto",
-           device_unpack: bool = False) -> DecodedFLAC:
+           engine: str = "auto") -> DecodedFLAC:
     """Decode a stream.
 
     engine:
@@ -607,9 +338,12 @@ def decode(data: bytes, check_crc: bool = False, verify_md5: bool = True,
     int64 accumulator class (hardening beyond the reference's always-i32
     InterType for <=16-bit streams, zflac.zig:314-319) at some cost
     (tpu engine only; the native engine always accumulates in 64-bit).
-    device_unpack: tpu engine uploads the *bitstream windows* and runs
-    Rice extraction in the Pallas bit-unpack kernel on the accelerator
-    (ops/rice.py) instead of uploading host-decoded residual rows.
+
+    Device-RESIDENT decode (compressed bytes -> PCM in HBM, Rice
+    extraction on the accelerator) is the pack2 path:
+    runtime.device.decode_to_device / parallel.shard for sharded
+    meshes. The earlier per-generation knobs (device_unpack / skim)
+    were superseded by pack2 on every axis and removed.
     """
     if engine not in ("auto", "tpu", "native"):
         # Unknown strings must not fall through to a default path: a
@@ -624,18 +358,8 @@ def decode(data: bytes, check_crc: bool = False, verify_md5: bool = True,
     if engine == "native":
         return _decode_native(data, check_crc, verify_md5)
 
-    plan = None
-    if device_unpack and not safe_lpc and prefer_native:
-        # Measure-only skim index: no residual rows on the host at all;
-        # the accelerator recomputes them from the bitstream.
-        from ..index.native_indexer import native_available
-        if native_available():
-            from ..index.native_indexer import build_plan_skim
-            plan = build_plan_skim(data, check_crc=check_crc)
-    if plan is None:
-        plan = build_plan(data, check_crc=check_crc,
-                          prefer_native=prefer_native,
-                          emit_groups=device_unpack)
+    plan = build_plan(data, check_crc=check_crc,
+                      prefer_native=prefer_native)
     if safe_lpc and plan.rows.dtype == np.int32:
         plan.wide = (plan.kind == 3)
     dtype = container_dtype(plan.info.bits_per_sample)
@@ -658,15 +382,8 @@ def decode(data: bytes, check_crc: bool = False, verify_md5: bool = True,
     else:
         from ..utils.profiler import maybe_trace
         with maybe_trace("zflac_tpu.decode"):
-            if plan.rows is None:
-                pcm = _run_reconstruct_skim(plan, data)
-                path = "skim"
-            elif device_unpack and plan.rows.dtype == np.int32:
-                pcm = _run_reconstruct_device(plan, data)
-                path = "device_unpack"
-            else:
-                pcm = _run_reconstruct(plan)
-                path = "rows"
+            pcm = _run_reconstruct(plan)
+            path = "rows"
             interleaved = _assemble(plan, pcm)
         _log_kernel.debug("reconstruct path=%s classes=%s", path,
                           {k: len(v) for k, v in plan.classes().items()

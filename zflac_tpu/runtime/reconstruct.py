@@ -209,164 +209,3 @@ def reconstruct_packed(buf, *, spec, class_names, num_channels: int,
         a["coeffs"], a["seeds"], class_idx, a["channel_code"],
         num_channels=num_channels, container_bits=container_bits,
         do_decorrelate=do_decorrelate, lpc_impl=lpc_impl)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("spec", "class_names", "num_channels",
-                     "container_bits", "do_decorrelate", "lpc_impl",
-                     "unpack_impl", "B", "gpb"))
-def reconstruct_device_unpack_packed(buf, *, spec, class_names,
-                                     num_channels: int,
-                                     container_bits: int,
-                                     do_decorrelate: bool, lpc_impl: str,
-                                     unpack_impl: str, B: int, gpb: int):
-    """Single-buffer variant of reconstruct_device_unpack()."""
-    from .pack import unpack
-    a = unpack(buf, spec)
-    class_idx = {n: a["ci_" + n] for n in class_names}
-    return _device_unpack_core(
-        a["windows"], a["pos0"], a["gk"], a["gdepth"], a["gskip"],
-        a["warmups"], a["patch_idx"], a["patch_val"], a["kind"],
-        a["order"], a["wasted"], a["shift"], a["coeffs"], a["seeds"],
-        class_idx, a["channel_code"], a["bs_sub"],
-        num_channels=num_channels, container_bits=container_bits,
-        do_decorrelate=do_decorrelate, lpc_impl=lpc_impl,
-        unpack_impl=unpack_impl, B=B, gpb=gpb)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("spec", "class_names", "num_channels",
-                     "container_bits", "do_decorrelate", "lpc_impl",
-                     "unpack_impl", "B", "gpb"))
-def reconstruct_skim_packed(buf, *, spec, class_names, num_channels: int,
-                            container_bits: int, do_decorrelate: bool,
-                            lpc_impl: str, unpack_impl: str, B: int,
-                            gpb: int):
-    """Fully device-side decode phase 2 from a SKIM plan: the upload is
-    the raw bitstream words plus the measured group table (bit offsets +
-    packed parameters) — roughly the compressed size — and the window
-    gather, Rice extraction, and reconstruction all run on the
-    accelerator. One packed buffer, one transfer, one dispatch.
-
-    Packed entries: words [NW] u32 (native-endian values of the
-    big-endian stream words), off32 [NG] i32 (group bit offset relative
-    to the words base; <0 invalid), meta [NG] i32 (k | depth<<8),
-    warmups [S,32], warm_len [S], patch_idx/patch_val, kind, order,
-    wasted, shift, coeffs, seeds, channel_code, bs_sub, ci_* gather
-    lists."""
-    from ..ops.rice import (G, K_INVALID, W, lanes_default,
-                            rice_unpack_inline, _unpack_math)
-    from .pack import unpack
-    a = unpack(buf, spec)
-    class_idx = {n: a["ci_" + n] for n in class_names}
-    words, off32, meta = a["words"], a["off32"], a["meta"]
-    kind, order, bs_sub = a["kind"], a["order"], a["bs_sub"]
-    S = kind.shape[0]
-    NG = off32.shape[0]
-
-    valid = off32 >= 0
-    off_c = jnp.where(valid, off32, 0)
-    word_idx = off_c >> 5
-    pos0 = (off_c & 31)[None, :]
-    gk = jnp.where(valid, meta & 0xFF, K_INVALID)[None, :]
-    gdepth = ((meta >> 8) & 0xFF)[None, :]
-    # Group gi of subframe s covers output positions [gi*G, gi*G + G);
-    # the leading warm-up positions are skipped lanes.
-    gi = jax.lax.broadcasted_iota(jnp.int32, (S, gpb), 1)
-    skip_rows = jnp.clip(order[:, None] - gi * G, 0, G)
-    skip = jnp.zeros((NG,), jnp.int32).at[:S * gpb].set(
-        skip_rows.reshape(-1))[None, :]
-
-    # Device-side window gather: [W, NG] u32 (the host used to build
-    # this; on the accelerator it is HBM-bandwidth, not tunnel bytes).
-    idx = word_idx[None, :] + jax.lax.broadcasted_iota(
-        jnp.int32, (W, 1), 0)
-    windows = jnp.take(words, idx, mode="clip")
-
-    if unpack_impl == "pallas":
-        out = rice_unpack_inline(windows, pos0, gk, gdepth, skip,
-                                 lanes=lanes_default(NG))
-    else:
-        out = _unpack_math(windows, pos0, gk, gdepth, skip)
-    out = out[:, :S * gpb]
-    rows = out.T.reshape(S, gpb * G)
-    rows = rows[:, :B] if gpb * G >= B else jnp.pad(
-        rows, ((0, 0), (0, B - gpb * G)))
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (S, B), 1)
-    warm = jnp.pad(a["warmups"], ((0, 0), (0, B - 32)))
-    rows = jnp.where(col < a["warm_len"][:, None], warm, rows)
-    rows = scatter_flat(rows.reshape(-1), a["patch_idx"],
-                        a["patch_val"])
-    rows = rows.reshape(S, B)
-    rows = jnp.where(col < bs_sub[:, None], rows, 0)
-
-    return _reconstruct_core(
-        rows, kind, order, a["wasted"], a["shift"], a["coeffs"],
-        a["seeds"], class_idx, a["channel_code"],
-        num_channels=num_channels, container_bits=container_bits,
-        do_decorrelate=do_decorrelate, lpc_impl=lpc_impl)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_channels", "container_bits", "do_decorrelate",
-                     "lpc_impl", "unpack_impl", "B", "gpb"))
-def reconstruct_device_unpack(windows, pos0, gk, gdepth, gskip, warmups,
-                              patch_idx, patch_val, kind, order, wasted,
-                              shift, coeffs_rev, fixed_seeds, class_idx,
-                              channel_code, bs_sub, *, num_channels: int,
-                              container_bits: int, do_decorrelate: bool,
-                              lpc_impl: str, unpack_impl: str, B: int,
-                              gpb: int):
-    """Fully device-side decode phase 2: the *bitstream windows* are the
-    upload (~= the compressed size) instead of the decoded rows; Rice
-    extraction runs in the bit-unpack kernel (ops/rice.py) and feeds the
-    reconstruction core without a host round-trip.
-
-    warmups: [S, 32] leading row values (order <= 32); patch_idx/val:
-    sparse fixes for kernel-ineligible groups (flat indices into
-    [S * B]); bs_sub: [S] per-subframe block size.
-    """
-    return _device_unpack_core(
-        windows, pos0, gk, gdepth, gskip, warmups, patch_idx, patch_val,
-        kind, order, wasted, shift, coeffs_rev, fixed_seeds, class_idx,
-        channel_code, bs_sub, num_channels=num_channels,
-        container_bits=container_bits, do_decorrelate=do_decorrelate,
-        lpc_impl=lpc_impl, unpack_impl=unpack_impl, B=B, gpb=gpb)
-
-
-def _device_unpack_core(windows, pos0, gk, gdepth, gskip, warmups,
-                        patch_idx, patch_val, kind, order, wasted,
-                        shift, coeffs_rev, fixed_seeds, class_idx,
-                        channel_code, bs_sub, *, num_channels: int,
-                        container_bits: int, do_decorrelate: bool,
-                        lpc_impl: str, unpack_impl: str, B: int,
-                        gpb: int):
-    from ..ops.rice import G, lanes_default, rice_unpack_inline, _unpack_math
-
-    S = kind.shape[0]
-    if unpack_impl == "pallas":
-        out = rice_unpack_inline(windows, pos0, gk, gdepth, gskip,
-                                 lanes=lanes_default(windows.shape[1]))
-    else:
-        out = _unpack_math(windows, pos0, gk, gdepth, gskip)
-    out = out[:, :S * gpb]  # drop lane padding
-    rows = out.T.reshape(S, gpb * G)
-    rows = rows[:, :B] if gpb * G >= B else jnp.pad(
-        rows, ((0, 0), (0, B - gpb * G)))
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (S, B), 1)
-    warm = jnp.pad(warmups, ((0, 0), (0, B - warmups.shape[1])))
-    rows = jnp.where(col < order[:, None], warm, rows)
-    rows = scatter_flat(rows.reshape(-1), patch_idx, patch_val)
-    rows = rows.reshape(S, B)
-    rows = jnp.where(col < bs_sub[:, None], rows, 0)
-
-    return _reconstruct_core(
-        rows, kind, order, wasted, shift, coeffs_rev, fixed_seeds,
-        class_idx, channel_code, num_channels=num_channels,
-        container_bits=container_bits, do_decorrelate=do_decorrelate,
-        lpc_impl=lpc_impl)
