@@ -579,11 +579,73 @@ def v_lpc_order32():
     return finish("lpc order32", [frame], 64, 44100, 1, 16, expect)
 
 
+def v_bs65535_24bit():
+    # Block size 65535 via the uncommon 16-bit code 7 (stored value
+    # minus one; 0xFFFF itself is forbidden — zflac.zig:356-365), on a
+    # 24-bit stream: pins the bs_code-7 decode AND the 3-low-bytes MD5
+    # domain of 24-bit samples (zflac.zig:268-274) at the format's
+    # maximum block size. Constant subframe keeps the stream tiny.
+    def sf(bw):
+        w_subframe_header(bw, 0, 0)
+        bw.w(-4660 * 256 - 18, 24)     # 0xFFB79CEE-ish 24-bit value
+
+    frame = build_frame(0, 7, 9, 0, 6, [sf], bs_extra=(65534, 16))
+    val = -4660 * 256 - 18
+    return finish("bs65535 24bit", [frame], 65535, 44100, 1, 24,
+                  [val] * 65535)
+
+
+def v_8ch_fixed():
+    # 8 independent channels (ch_code 7) in one frame: per-channel
+    # fixed order-1 predictors with distinct warm-ups and residuals —
+    # pins the channel-count decode and 8-way interleave order.
+    per_ch_res = [[c, -c, 2 * c + 1] for c in range(8)]
+
+    def make_sf(ch):
+        def sf(bw, ch=ch):
+            w_subframe_header(bw, 8 + 1, 0)
+            bw.w(1000 * ch - 3500, 16)   # warm-up
+            bw.w(0, 2)
+            bw.w(0, 4)
+            bw.w(3, 4)                   # k = 3
+            for r in per_ch_res[ch]:
+                w_rice(bw, r, 3)
+        return sf
+
+    frame = build_frame(0, 6, 9, 7, 4, [make_sf(c) for c in range(8)],
+                        bs_extra=(3, 8))
+    chans = [fixed_expect(1, [1000 * c - 3500], per_ch_res[c])
+             for c in range(8)]
+    inter = []
+    for t in range(4):
+        inter += [chans[c][t] for c in range(8)]
+    return finish("8ch fixed", [frame], 4, 44100, 8, 16, inter)
+
+
+def v_rice2_k28():
+    # Rice2 (method 1) with k = 28 — deep 5-bit-parameter territory:
+    # residual magnitudes up to 2^28 keep the zigzag under 2^31 while
+    # the remainder spans 28 bits (q is tiny). Pins the wide-remainder
+    # extraction on a 32-bit mono stream (no decorrelation).
+    res = [1 << 28, -(1 << 28), 1, 0, -(3 << 26), 5, -5, (1 << 27) + 9]
+
+    def sf(bw):
+        w_subframe_header(bw, 8, 0)      # fixed order 0
+        bw.w(1, 2)                       # coding method 1 (Rice2)
+        bw.w(0, 4)                       # po 0
+        bw.w(28, 5)                      # k = 28
+        for r in res:
+            w_rice(bw, r, 28)
+
+    frame = build_frame(0, 6, 9, 0, 7, [sf], bs_extra=(7, 8))
+    return finish("rice2 k28", [frame], 8, 44100, 1, 32, res)
+
+
 VECTORS = [v_po0_fixed1, v_escape_mixed, v_escape_zero, v_rice2_k16,
            v_wasted_side, v_midside_extreme, v_po15, v_lpc_edges,
            v_32bit_side, v_coded_multibyte, v_bps12,
            v_bs192_fixed4_20bit, v_varblock_36bit, v_sr_uncommon_codes,
-           v_lpc_order32]
+           v_lpc_order32, v_bs65535_24bit, v_8ch_fixed, v_rice2_k28]
 
 
 @pytest.fixture(scope="module")
