@@ -126,6 +126,41 @@ def test_rice16_kernel_interpret_matches_math():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_rice16_rows_kernel_4d_interpret_matches_math():
+    """The production 4-D sublane-tiled rows kernel (full-vreg math on
+    (8, 128) tiles) in interpret mode == the flat reference math,
+    including the time-major output BlockSpec mapping. Ssort=1024
+    triggers the 4-D path; a synthetic group mix covers rice, escape,
+    invalid, and skip lanes."""
+    import jax
+    import jax.numpy as jnp
+    from zflac_tpu.ops.rice16 import (K2_ESCAPE, K2_INVALID,
+                                      rice16_unpack_rows_inline,
+                                      unpack16_rows_math)
+
+    rng = np.random.default_rng(5)
+    W, SS, GP1 = 8, 1024, 6
+    NG = GP1 * SS
+    win = jnp.asarray(rng.integers(0, 1 << 32, (W, NG),
+                                   dtype=np.uint32))
+    k6 = rng.integers(0, 9, NG)
+    k6[rng.random(NG) < 0.1] = K2_ESCAPE
+    k6[rng.random(NG) < 0.1] = K2_INVALID
+    depth = rng.integers(0, 12, NG)
+    skip = np.where(rng.random(NG) < 0.05,
+                    rng.integers(0, 8, NG), 0)
+    pos0 = rng.integers(0, 32, NG)
+    meta = jnp.asarray(
+        (pos0 | (k6 << 5) | (depth << 11) | (skip << 16))
+        .astype(np.int32)[None, :])
+    ref = np.asarray(jax.jit(
+        lambda w, m: unpack16_rows_math(w, m, Ssort=SS))(win, meta))
+    got = np.asarray(jax.jit(
+        lambda w, m: rice16_unpack_rows_inline(
+            w, m, Ssort=SS, interpret=True))(win, meta))
+    np.testing.assert_array_equal(got, ref)
+
+
 def _numpy_lpc64(rows, cf, shift, order):
     """Scalar reference of the 64-bit-accumulator LPC recurrence
     (InterType i64, zflac.zig:314-319,526-533)."""

@@ -146,19 +146,20 @@ def bench_kernels(n: int):
 
     from zflac_tpu.ops.lpc2 import lpc2_reconstruct_inline
     from zflac_tpu.ops.lpc2w import lpc2w_reconstruct_inline
-    from zflac_tpu.ops.rice16 import G2, rice16_unpack_inline
+    from zflac_tpu.ops.rice16 import G2, rice16_unpack_rows_inline
 
     rng = np.random.default_rng(0)
     out = {}
 
-    # rice16: geometry of a 4M-sample stereo stream (NG groups).
-    W, NG = 8, 1 << 19
+    # rice16 rows kernel (the production 4-D sublane-tiled form):
+    # geometry of a 4M-sample stereo stream (NG groups, Ssort=1024).
+    W, NG, SS = 8, 1 << 19, 1024
     win = jnp.asarray(rng.integers(0, 1 << 32, (2 * W, NG),
                                    dtype=np.uint32))
     meta = jnp.asarray(
         (rng.integers(0, 4, (1, NG)) << 5 | 3).astype(np.int32))
     t = _amortized(
-        lambda w, m: rice16_unpack_inline(w, m),
+        lambda w, m: rice16_unpack_rows_inline(w, m, Ssort=SS),
         win, W, n, extra_args=(meta,))
     out["rice16_res_per_exec"] = G2 * NG
     out["rice16_ms"] = round(t * 1e3, 3)

@@ -66,21 +66,20 @@ def _bitcast_i32(u):
 
 
 def _select_word(win, wi, c_lo, c_hi):
-    """win[wi] per lane via a select chain (win: [W, L] uint32;
-    wi: [1, L] int32; rows outside [c_lo, c_hi] read as 0)."""
-    acc = jnp.zeros_like(win[0:1])
+    """win[wi] per element via a select chain (win: [W, *S] uint32;
+    wi: [*S] int32; rows outside [c_lo, c_hi] read as 0)."""
+    acc = jnp.zeros_like(win[0])
     for c in range(c_lo, c_hi + 1):
-        acc = jnp.where(wi == c, win[c:c + 1], acc)
+        acc = jnp.where(wi == c, win[c], acc)
     return acc
 
 
-def _unpack16_math(win, meta):
-    """Shared kernel body (runs inside pallas on TPU and, via jnp on
-    host arrays, as the reference implementation for CPU paths/tests).
-
-    win: [W, L] uint32 — native-endian values of the big-endian stream
-    words containing each group's bits; meta: [1, L] int32 packed
-    pos0|k|depth|skip. Returns out [G2, L] int32."""
+def _unpack16_list(win, meta):
+    """Shape-generic group extraction: win is indexable as win[c] with
+    the same (arbitrary) spatial shape as meta — [1, L] rows in the
+    flat layout, [8, 128] full-vreg tiles in the 4D sublane layout
+    (rice16_unpack_rows_inline). Returns a list of G2 arrays of
+    meta's shape (residual j of every group)."""
     W = win.shape[0]
     pos = meta & 31
     k6 = (meta >> 5) & 63
@@ -105,7 +104,7 @@ def _unpack16_math(win, meta):
         # select chains than the worst case.
         hi = min((31 + 64 * j) >> 5, W - 3)
         if hi == 0:
-            w0, w1, w2 = win[0:1], win[1:2], win[2:3]
+            w0, w1, w2 = win[0], win[1], win[2]
         else:
             w0 = _select_word(win, wi, 0, hi)
             w1 = _select_word(win, wi + 1, 1, hi + 1)
@@ -144,7 +143,14 @@ def _unpack16_math(win, meta):
         adv = jnp.where(is_escape, esc_adv, rice_adv)
         outs.append(jnp.where(active, value, 0).astype(jnp.int32))
         pos = jnp.where(active, pos + adv, pos)
-    return jnp.concatenate(outs, axis=0)
+    return outs
+
+
+def _unpack16_math(win, meta):
+    """Flat-layout wrapper of _unpack16_list (the CPU-reference form):
+    win [W, L] uint32, meta [1, L] int32. Returns out [G2, L] int32."""
+    return jnp.concatenate(
+        _unpack16_list(win[:, None, :], meta), axis=0)
 
 
 def _rice16_kernel(win_ref, meta_ref, out_ref):
@@ -210,14 +216,58 @@ def unpack16_rows_math(win, meta, *, Ssort: int):
         GP1 * G2, Ssort)
 
 
+def _rice16_kernel4(win_ref, meta_ref, out_ref):
+    """Full-vreg body: refs carry (8, 128) minor tiles, so every
+    per-residual op runs on complete vregs instead of [1, lanes] rows
+    (which occupy one sublane of each vreg — ~1/8 ALU utilization,
+    the dominant cost of the 2-D kernel)."""
+    win = win_ref[:, 0]                 # [W, 8, 128]
+    meta = meta_ref[0]                  # [8, 128]
+    outs = _unpack16_list(win, meta)
+    for j in range(G2):
+        out_ref[j, 0] = outs[j]
+
+
 def rice16_unpack_rows_inline(windows, meta, *, Ssort: int,
                               lanes: int = 0, interpret: bool = False):
     """windows: [W, NGp] uint32 with NGp = GP1 * Ssort (p-major slots);
     meta: [1, NGp]. Returns time-major residuals [GP1 * G2, Ssort]
-    int32. Not jitted: inline under the caller's jit."""
+    int32. Not jitted: inline under the caller's jit.
+
+    When Ssort is a multiple of 1024 (every production-size chunk),
+    the arrays are VIEWED 4-D — [.., NGp/1024, 8, 128] — so each grid
+    step's block is a stack of full (8, 128) vregs: the flat run of
+    1024 group slots at (s, l) = s*128 + l is exactly the row-major
+    (8, 128) tile, so the views are free and the kernel's elementwise
+    math uses all 8 sublanes. Measured ~3x on the v5e over the
+    [1, lanes]-row form. Small chunks keep the 2-D row layout."""
     W, NGp = windows.shape
     assert NGp % Ssort == 0
     GP1 = NGp // Ssort
+    if Ssort % 1024 == 0:
+        NB = NGp // 1024                # total (8, 128) blocks
+        R4 = Ssort // 1024              # blocks per p-row
+        win4 = windows.reshape(W, NB, 8, 128)
+        meta4 = meta.reshape(NB, 8, 128)
+        out4 = pl.pallas_call(
+            _rice16_kernel4,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec((W, 1, 8, 128), lambda i: (0, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            # Block i covers p-row i // R4, sorted-lane tile i % R4 of
+            # the time-major output (viewed 4-D over the same memory).
+            out_specs=pl.BlockSpec(
+                (G2, 1, 8, 128), lambda i: (i // R4, i % R4, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=out_struct((GP1 * G2, R4, 8, 128), jnp.int32,
+                                 windows, meta),
+            interpret=interpret,
+        )(win4, meta4)
+        return out4.reshape(GP1 * G2, Ssort)
     if lanes <= 0:
         lanes = rows_lanes(Ssort)
     assert Ssort % lanes == 0
