@@ -144,6 +144,13 @@ def bench_stream(bps: int, samples: int, n: int, data: bytes = None):
 def bench_kernels(n: int):
     import jax.numpy as jnp
 
+    # The individual kernels now run in the 0.02-0.7 ms range: at the
+    # stream-level loop count the 8->16-iteration delta (~1 ms) drowns
+    # in the tunnel's per-measurement jitter (+/- several ms). Scale
+    # the on-device loop so the slope is measured over >= ~10 ms of
+    # real compute.
+    n = max(8 * n, 64)
+
     from zflac_tpu.ops.lpc2 import lpc2_reconstruct_inline
     from zflac_tpu.ops.lpc2w import lpc2w_reconstruct_inline
     from zflac_tpu.ops.rice16 import G2, rice16_unpack_rows_inline
@@ -166,9 +173,12 @@ def bench_kernels(n: int):
     out["rice16_mres_s"] = round(G2 * NG / t / 1e6, 1)
 
     # lpc2 / lpc2w: B x S = 4096 x 2048 (a 4M-sample stream's LPC
-    # load); lanes=512 with 512-sample time tiles (the latency-hiding
-    # geometry the production path picks via lpc2_lanes).
+    # load), at the geometry the production path picks via lpc2_lanes
+    # (lanes=2048, tt=256 on this shape — wide lanes hide the
+    # latency-bound recurrence chain).
+    from zflac_tpu.ops.lpc2 import lpc2_lanes
     B, S, hist = 4096, 2048, 8
+    lanes, tt = lpc2_lanes(S, B)
     rows = jnp.asarray(rng.integers(-1000, 1000, (2 * B, S),
                                     dtype=np.int32))
     cfwd = jnp.asarray(rng.integers(-500, 500, (hist, S),
@@ -178,8 +188,8 @@ def bench_kernels(n: int):
     for name, fn in (("lpc2", lpc2_reconstruct_inline),
                      ("lpc2w", lpc2w_reconstruct_inline)):
         t = _amortized(
-            lambda r, c, s, o, fn=fn: fn(r, c, s, o, lanes=512,
-                                         hist=hist, unroll=8),
+            lambda r, c, s, o, fn=fn: fn(r, c, s, o, lanes=lanes,
+                                         hist=hist, unroll=8, tt=tt),
             rows, B, n, extra_args=(cfwd, shift, order))
         out[f"{name}_samples_per_exec"] = B * S
         out[f"{name}_ms"] = round(t * 1e3, 3)

@@ -129,15 +129,30 @@ def lpc2_reconstruct_inline(rows_t, cfwd_t, shift, order, *,
     )(rows_t, cfwd_t, shift, order)
 
 
-def lpc2_lanes(n: int, B: int) -> int | None:
-    """Widest lane count dividing n that keeps the time-tiled blocks in
-    VMEM, or None when nothing fits — the caller falls back to the XLA
-    scan path. With time tiling the block footprint is
-    2 x (in + out) x (tt x lanes) words, independent of B."""
-    tt = math.gcd(B, 512)  # mirror of the kernels' tile computation
-    for lanes in (512, 256, 128):
-        if n % lanes == 0 and 4 * tt * lanes * 4 <= 12 * 2**20:
-            return lanes
+def lpc2_lanes(n: int, B: int, pairs: int = 1):
+    """Kernel geometry (lanes, tt) for the time-tiled LPC kernels, or
+    None when nothing fits — the caller falls back to the XLA scan
+    path.
+
+    The recurrence is latency-bound, so WIDER lanes win as long as the
+    double-buffered (in + out) blocks fit VMEM: measured on v5e
+    (B=4096, S=2048, order 8) lanes 512/1024/2048 run 0.39/0.26/0.19-
+    0.23 ms per 8.4 M samples. The footprint is
+    2 (dbl-buffer) x 2 (in+out) x pairs x (tt x lanes) x 4 B,
+    independent of B; `pairs` is 2 for the lpc2w33 kernel (hi AND lo
+    planes in and out). tt shrinks (staying a divisor of B and a
+    multiple of the unroll) to admit wider lanes — the measured
+    (lanes=2048, tt=256) beats (1024, 512) and is comfortably inside
+    the ~16 MB/core VMEM."""
+    budget_words = (12 * 2**20 // 16) // pairs   # tt * lanes bound
+    for lanes in (2048, 1024, 512, 256, 128):
+        if n % lanes:
+            continue
+        tt = math.gcd(B, 512)
+        while tt > 8 and tt * lanes > budget_words:
+            tt //= 2
+        if tt % 8 == 0 and tt * lanes <= budget_words:
+            return lanes, tt
     return None
 
 

@@ -185,20 +185,21 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
                 _fixed_integrate_t(rc, order[sl], seeds_t[:, sl]))
             continue
         hist = hist_of[name]
-        lanes = None
+        geom = None
         if use_pallas:
             from ..ops.lpc2 import lpc2_lanes, lpc2_reconstruct_inline
-            lanes = lpc2_lanes(np_, Bp)
+            geom = lpc2_lanes(np_, Bp)
         args = (rc, cfwd_t[:hist, sl],
                 shift[sl][None, :], order[sl][None, :])
-        if lanes is not None:
+        if geom is not None:
+            lanes, tt = geom
             if wide:
                 from ..ops.lpc2w import lpc2w_reconstruct_inline
                 out_l = lpc2w_reconstruct_inline(
-                    *args, lanes=lanes, hist=hist, unroll=8)
+                    *args, lanes=lanes, hist=hist, unroll=8, tt=tt)
             else:
                 out_l = lpc2_reconstruct_inline(
-                    *args, lanes=lanes, hist=hist, unroll=8)
+                    *args, lanes=lanes, hist=hist, unroll=8, tt=tt)
         elif wide:
             # Same wide step math as the kernel, as a lax.scan
             # (CPU tests / non-TPU backends).
@@ -360,16 +361,17 @@ def _reconstruct_pack2_wide33(buf, out, *, spec, use_pallas: bool):
             seg_l.append(_i32(ol))
             continue
         hist = hist_of[name]
-        lanes = None
+        geom = None
         if use_pallas:
             from ..ops.lpc2 import lpc2_lanes
-            lanes = lpc2_lanes(np_, Bp)
+            geom = lpc2_lanes(np_, Bp, pairs=2)   # hi+lo in AND out
         args = (rc_h, rc_l, cfwd_t[:hist, sl],
                 shift[sl][None, :], order[sl][None, :])
-        if lanes is not None:
+        if geom is not None:
+            lanes, tt = geom
             from ..ops.lpc2w import lpc2w33_reconstruct_inline
             oh, ol = lpc2w33_reconstruct_inline(
-                *args, lanes=lanes, hist=hist, unroll=8)
+                *args, lanes=lanes, hist=hist, unroll=8, tt=tt)
         else:
             from ..ops.lpc2w import lpc2w33_scan
             oh, ol = lpc2w33_scan(*args, hist=hist)
