@@ -161,6 +161,51 @@ def test_rice16_rows_kernel_4d_interpret_matches_math():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_packtail_kernel_interpret_matches_xla_tail():
+    """The fused gather+decorrelate+pack tail kernel (scalar-prefetch
+    BlockSpecs, ops/packtail.py) in interpret mode == the XLA tail on
+    a real mid-side chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    from zflac_tpu.bitio import BitReader
+    from zflac_tpu.encoder import EncoderConfig, encode
+    from zflac_tpu.index.native_indexer import (native_available,
+                                                pack2_range)
+    from zflac_tpu.oracle import parse_metadata
+    from zflac_tpu.ops.packtail import packtail_inline
+    from zflac_tpu.runtime.device import _reconstruct_pack2_core
+    from zflac_tpu.testing import correlated_stereo
+
+    if not native_available():
+        pytest.skip("native indexer unavailable")
+    pcm = correlated_stereo(40000, 16, seed=21)
+    data = encode(pcm, 44100, 16,
+                  EncoderConfig(block_size=1024, stereo_mode="mid_side"))
+    br = BitReader(data)
+    info = parse_metadata(br)
+    ck = pack2_range(data, br.pos // 8, len(data), info,
+                     max_frames=1 << 20)
+    assert ck is not None
+    spec = ck.spec_key()
+    (Fp, Sp, Bp, *_rest) = spec
+    off = dict(spec[9])
+    buf = jnp.asarray(ck.device_buf)
+    run = lambda **kw: jax.jit(  # noqa: E731
+        lambda b: _reconstruct_pack2_core(
+            b, spec=spec, num_channels=2, container_bits=16,
+            do_decorrelate=True, use_pallas=False, **kw))(buf)
+    ref = np.asarray(run())
+    stack = run(stage="transpose")
+    packed = jax.jit(lambda s, i, w, c: packtail_inline(
+        s, i, w, c, Fp=Fp, container_bits=16, interpret=True))(
+        stack, jnp.asarray(ck.buf[off["inv"]:off["inv"] + Sp]),
+        jnp.asarray(ck.buf[off["wasted"]:off["wasted"] + Sp]),
+        jnp.asarray(ck.buf[off["chcode"]:off["chcode"] + Fp]))
+    got = np.asarray(jax.lax.bitcast_convert_type(packed, jnp.int16))
+    np.testing.assert_array_equal(got, ref)
+
+
 def _numpy_lpc64(rows, cf, shift, order):
     """Scalar reference of the 64-bit-accumulator LPC recurrence
     (InterType i64, zflac.zig:314-319,526-533)."""

@@ -103,6 +103,10 @@ def bench_stream(bps: int, samples: int, n: int, data: bytes = None):
     from zflac_tpu.runtime.device import _on_tpu, _reconstruct_pack2_core
     from zflac_tpu.testing import correlated_stereo
 
+    # The pack2 step now runs in ~1 ms: at n=8 the 8-iteration slope
+    # (~8 ms) drowns in the tunnel's per-measurement jitter (observed
+    # +/- 10-20 ms in bad phases). Keep the slope window >= ~50 ms.
+    n = max(n, 48)
     if data is None:
         pcm = correlated_stereo(samples, bps, seed=7)
         data = encode(pcm, 44100 if bps == 16 else 96000, bps,

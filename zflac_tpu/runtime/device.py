@@ -259,6 +259,18 @@ def _reconstruct_pack2_core(buf, *, spec, num_channels: int,
         # rows sit at inv[c::2]) and fuse the wasted shift,
         # decorrelation, and interleave pack on the planes — the
         # [Sp, Bp] stream-order canvas is never materialized.
+        if use_pallas:
+            # One streaming pass: the scalar-prefetched permutation
+            # drives the row DMAs, so no gathered planes (and no
+            # anti-refusion barriers) materialize (ops/packtail.py).
+            from ..ops.packtail import packtail_inline
+            packed = packtail_inline(
+                stack, inv, wasted, chcode, Fp=Fp,
+                container_bits=container_bits)
+            cd = jnp.int16 if container_bits == 16 else jnp.int8
+            if container_bits == 8:
+                packed = packed.astype(jnp.int16)
+            return jax.lax.bitcast_convert_type(packed, cd)
         c0 = stack[inv[0:Sp:2]] << wasted[0:Sp:2][:, None]
         c1 = stack[inv[1:Sp:2]] << wasted[1:Sp:2][:, None]
         # Materialize the gathered planes once: without the barrier
