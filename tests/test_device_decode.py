@@ -108,6 +108,30 @@ def test_device_decode_matches_native(name, corpus):
         ref.channels, ref.sample_rate, ref.bits_per_sample)
 
 
+def test_device_decode_parallel_scan(corpus):
+    """Anchor-split parallel scan (scan_workers > 0 forces the split
+    path on small streams): chunk chain verified, output bit-exact vs
+    the sequential scan and the native engine."""
+    data, *_ = corpus["lpc order 8"]
+    ref = zflac_tpu.decode(data, engine="native")
+    for workers in (2, 4):
+        dd = zflac_tpu.decode_to_device(data, scan_workers=workers,
+                                        chunk_frames=2)
+        assert dd is not None
+        got = dd.to_host()
+        np.testing.assert_array_equal(got.interleaved, ref.interleaved)
+
+
+def test_device_decode_parallel_scan_unknown_total(corpus):
+    """Parallel scan composed with probe-based frame estimation."""
+    data, *_ = corpus["unknown length"]
+    ref = zflac_tpu.decode(data, engine="native")
+    dd = zflac_tpu.decode_to_device(data, scan_workers=3)
+    assert dd is not None
+    np.testing.assert_array_equal(dd.to_host().interleaved,
+                                  ref.interleaved)
+
+
 def test_device_decode_chunked(corpus):
     """Multi-chunk pipeline: same output as single-shot, chunk shapes
     pinned so the stream compiles once."""

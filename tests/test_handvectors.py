@@ -641,11 +641,58 @@ def v_rice2_k28():
     return finish("rice2 k28", [frame], 8, 44100, 1, 32, res)
 
 
+def v_block1_final():
+    # A final frame of block size 1 is legal (zflac.zig:404-405): two
+    # frames, block 8 then block 1, via the uncommon 8-bit code 6.
+    def sf_a(bw):
+        w_subframe_header(bw, 8 + 1, 0)    # fixed order 1
+        bw.w(500, 16)
+        bw.w(0, 2)
+        bw.w(0, 4)
+        bw.w(1, 4)
+        for r in [3, -3, 2, -2, 1, -1, 4]:
+            w_rice(bw, r, 1)
+
+    def sf_b(bw):
+        w_subframe_header(bw, 0, 0)        # constant
+        bw.w(-7, 16)
+
+    f0 = build_frame(0, 6, 9, 0, 4, [sf_a], bs_extra=(7, 8))
+    f1 = build_frame(1, 6, 9, 0, 4, [sf_b], bs_extra=(0, 8))
+    expect = fixed_expect(1, [500], [3, -3, 2, -2, 1, -1, 4]) + [-7]
+    return finish("block1 final", [f0, f1], 8, 44100, 1, 16, expect,
+                  min_block=1)
+
+
+def v_lpc_neg_coeff_edge():
+    # LPC order 1 with the most negative precision-15 coefficient
+    # (-2^14) and shift 14: the prediction is -s[t-1] with exact
+    # floor-division rounding of the negative product every step.
+    res = [1, -1, 2, 0, -2, 3, 5]
+
+    def sf(bw):
+        w_subframe_header(bw, 32 + 0, 0)
+        bw.w(12345, 16)
+        bw.w(14, 4)            # precision 15
+        bw.w(14, 5)            # shift 14
+        bw.w(-16384, 15)       # c1 = -2^14
+        bw.w(0, 2)
+        bw.w(0, 4)
+        bw.w(2, 4)
+        for r in res:
+            w_rice(bw, r, 2)
+
+    frame = build_frame(0, 6, 9, 0, 4, [sf], bs_extra=(7, 8))
+    expect = lpc_expect([12345], [-16384], 14, res)
+    return finish("lpc neg edge", [frame], 8, 44100, 1, 16, expect)
+
+
 VECTORS = [v_po0_fixed1, v_escape_mixed, v_escape_zero, v_rice2_k16,
            v_wasted_side, v_midside_extreme, v_po15, v_lpc_edges,
            v_32bit_side, v_coded_multibyte, v_bps12,
            v_bs192_fixed4_20bit, v_varblock_36bit, v_sr_uncommon_codes,
-           v_lpc_order32, v_bs65535_24bit, v_8ch_fixed, v_rice2_k28]
+           v_lpc_order32, v_bs65535_24bit, v_8ch_fixed, v_rice2_k28,
+           v_block1_final, v_lpc_neg_coeff_edge]
 
 
 @pytest.fixture(scope="module")

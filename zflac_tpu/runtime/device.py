@@ -481,15 +481,85 @@ def _bucket_block(b: int) -> int:
     return max(128, -(-b // 128) * 128)
 
 
+def _scan_pack2_chunks(data: bytes, pos: int, info, chunk_frames: int,
+                       Bp: int, check_crc: bool, workers: int = 0):
+    """Scan the stream into pack2 chunks, parallelized across
+    anchor-split byte ranges (SURVEY.md §7 hard part 5: the serial
+    host scan must not become the end-to-end bottleneck — the chip
+    now reconstructs ~20x faster than one core can scan). Ranges are
+    split at sync-scan anchors (CRC-validated frame starts, the same
+    machinery as the native engine and the distributed path) and
+    scanned concurrently — the ctypes call releases the GIL, so the
+    C++ scans genuinely overlap. The chunk chain is verified (each
+    range must start exactly where the previous landed); any anchor
+    miss, mid-range decline, or chain break falls back to one serial
+    scan, which is the single source of truth for correctness.
+
+    Returns a list of (start_byte, Pack2Chunk), or None (decline)."""
+    import os
+
+    from ..index.native_indexer import find_anchor, pack2_range
+
+    def seq(a, stop):
+        out = []
+        p = a
+        force_w = 0
+        while p < stop:
+            ck = pack2_range(data, p, stop, info, check_crc=check_crc,
+                             max_frames=chunk_frames,
+                             force_fp=chunk_frames, force_bp=Bp,
+                             force_w=force_w)
+            if ck is None:
+                return None
+            if ck.F == 0:
+                break
+            force_w = ck.W
+            out.append((p, ck))
+            if ck.landed <= p:
+                break
+            p = ck.landed
+        return out
+
+    auto = workers <= 0
+    if auto:
+        workers = min(os.cpu_count() or 1, 8)
+    span = len(data) - pos
+    # Parallelism only pays when several chunk scans fit the span;
+    # explicit workers (> 0) force the split path (tests).
+    if workers < 2 or (auto and span < (1 << 20)):
+        return seq(pos, len(data))
+    bounds = [pos + span * k // workers for k in range(workers + 1)]
+    anchors = [find_anchor(data, bounds[k], bounds[k + 1], info)
+               for k in range(1, workers)]
+    starts = sorted({pos} | {a for a in anchors if a >= 0})
+    ranges = [(s, starts[i + 1] if i + 1 < len(starts) else len(data))
+              for i, s in enumerate(starts)]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        parts = list(ex.map(lambda r: seq(*r), ranges))
+    if any(p is None for p in parts):
+        return seq(pos, len(data))
+    out = []
+    expect = pos
+    for (a, stop), part in zip(ranges, parts):
+        if a != expect:                 # chain break: serial truth
+            return seq(pos, len(data))
+        out.extend(part)
+        if part:
+            expect = part[-1][1].landed
+    return out
+
+
 def decode_to_device(data: bytes, check_crc: bool = False,
-                     chunk_frames: int = 0):
+                     chunk_frames: int = 0, scan_workers: int = 0):
     """Decode a stream to device-resident PCM (pack2 fast path).
 
     Returns a DeviceDecoded, or None when the fast path declines
     (exotic/mismatching streams; callers fall back to
-    decode(engine="tpu") whose output they can device_put). Dispatches
-    are asynchronous: the host scan of chunk i+1 overlaps the device
-    compute of chunk i."""
+    decode(engine="tpu") whose output they can device_put). The host
+    scan parallelizes across anchor-split byte ranges
+    (_scan_pack2_chunks; scan_workers=0 picks the core count) and
+    dispatches are asynchronous, so scan and device compute overlap."""
     from ..bitio import BitReader
     from ..index.native_indexer import native_available, pack2_range
     from ..oracle import parse_metadata
@@ -519,35 +589,30 @@ def decode_to_device(data: bytes, check_crc: bool = False,
             chunk_frames *= 2
 
     use_pallas = _on_tpu()
-    dd = None
-    force_w = 0
-    force_cnp = None
-    force_pnp = 0
-    force_wide = False
-    chunks_meta = []
-    while pos < len(data):
-        ck = pack2_range(data, pos, len(data), info,
-                         check_crc=check_crc, max_frames=chunk_frames,
-                         force_fp=chunk_frames, force_bp=Bp,
-                         force_w=force_w, force_class_np=force_cnp,
-                         force_patch_np=force_pnp,
-                         force_wide=force_wide)
-        if ck is None:
-            return None
-        if ck.F == 0:
-            break
-        # Pin the first chunk's geometry as the floor for later chunks
-        # so a homogeneous stream compiles once; a later chunk that
-        # genuinely needs more capacity grows the spec (recompile).
-        force_w = ck.W
+    chunks = _scan_pack2_chunks(data, pos, info, chunk_frames, Bp,
+                                check_crc, workers=scan_workers)
+    if chunks is None or not chunks:
+        return None
+    cks = [ck for _, ck in chunks]
+    # One spec across all chunks (one compiled executable): if any
+    # chunk's natural spec diverges, re-scan with the forced union
+    # geometry (same parallel machinery via per-chunk ranges).
+    spec0 = cks[0].spec_key()
+    if any(ck.spec_key() != spec0 for ck in cks[1:]):
         from ..parallel.shard import class_caps
-        cnp, pnp, wide_u = class_caps([ck])
-        if force_cnp is None:
-            force_cnp, force_pnp, force_wide = cnp, pnp, wide_u
-        else:
-            force_cnp = [max(a, b) for a, b in zip(force_cnp, cnp)]
-            force_pnp = max(force_pnp, pnp)
-            force_wide = force_wide or wide_u
+        cnp, pnp, wide_u = class_caps(cks)
+        force_w = max(ck.W for ck in cks)
+        cks = [pack2_range(data, a, ck.landed, info,
+                           check_crc=check_crc, max_frames=chunk_frames,
+                           force_fp=chunk_frames, force_bp=Bp,
+                           force_w=force_w, force_class_np=cnp,
+                           force_patch_np=pnp, force_wide=wide_u)
+               for a, ck in chunks]
+        if any(ck is None for ck in cks):
+            return None
+
+    dd = None
+    for ck in cks:
         if dd is None:
             dd = DeviceDecoded(
                 channels=ck.C, sample_rate=ck.sample_rate,
@@ -567,10 +632,6 @@ def decode_to_device(data: bytes, check_crc: bool = False,
         dd.block_sizes.append(ck.f_block_size)
         dd.total_samples += int(ck.f_block_size.sum())
         dd.stats["frames"] += ck.F
-        chunks_meta.append(ck)
-        if ck.landed <= pos:
-            break
-        pos = ck.landed
     if dd is None:
         return None
     dd.stats["chunks"] = len(dd.chunks)
