@@ -359,34 +359,24 @@ def decode_to_device_sharded(data: bytes, mesh: Mesh,
                 chunk_frames * info.channel_count * Bp >= (1 << 25):
             chunk_frames //= 2
 
-    # Pass 1: natural-geometry scan of the whole stream.
-    cks = []
-    chunk_starts = []
-    force_w = 0
-    while pos < len(data):
-        ck = pack2_range(data, pos, len(data), info, check_crc=check_crc,
-                         max_frames=chunk_frames, force_fp=chunk_frames,
-                         force_bp=Bp, force_w=force_w)
-        if ck is None:
-            return None
-        if ck.F == 0:
-            break
-        force_w = ck.W
-        # Stream-consistency rules across chunk boundaries, matching
-        # the non-sharded path (zflac.zig:376-392 semantics).
-        if cks and (ck.sample_rate != cks[0].sample_rate or
-                    ck.C != cks[0].C or
-                    ck.bits_per_sample != cks[0].bits_per_sample):
+    # Pass 1: natural-geometry scan of the whole stream, parallelized
+    # across anchor-split byte ranges (runtime/device.py).
+    from ..runtime.device import _scan_pack2_chunks
+    chunks = _scan_pack2_chunks(data, pos, info, chunk_frames, Bp,
+                                check_crc)
+    if not chunks:
+        return None
+    chunk_starts = [a for a, _ in chunks]
+    cks = [ck for _, ck in chunks]
+    # Stream-consistency rules across chunk boundaries, matching the
+    # non-sharded path (zflac.zig:376-392 semantics).
+    for ck in cks[1:]:
+        if (ck.sample_rate != cks[0].sample_rate or
+                ck.C != cks[0].C or
+                ck.bits_per_sample != cks[0].bits_per_sample):
             from ..errors import InconsistentParameters
             raise InconsistentParameters(
                 "stream parameters changed mid-stream")
-        chunk_starts.append(pos)
-        cks.append(ck)
-        if ck.landed <= pos:
-            break
-        pos = ck.landed
-    if not cks:
-        return None
     n_rounds = -(-len(cks) // D)
     _log_shard.debug(
         "pack2 sharded: %d chunks over %d devices in %d rounds, "
@@ -398,6 +388,7 @@ def decode_to_device_sharded(data: bytes, mesh: Mesh,
     spec0 = cks[0].spec_key()
     if any(ck.spec_key() != spec0 for ck in cks[1:]):
         cnp, pnp, wide_u = class_caps(cks)
+        force_w = max(ck.W for ck in cks)
         cks = [pack2_range(data, a, ck.landed, info,
                            check_crc=check_crc, max_frames=chunk_frames,
                            force_fp=chunk_frames, force_bp=Bp,
