@@ -42,7 +42,6 @@ import jax.numpy as jnp
 from .. import format as fmt
 from ..errors import InconsistentParameters, InvalidChecksum
 from ..result import DecodedFLAC, container_dtype
-from .scatter import scatter_flat
 
 
 def _on_tpu() -> bool:

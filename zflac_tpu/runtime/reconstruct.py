@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import format as fmt
-from .scatter import scatter_flat, scatter_rows
+from .scatter import scatter_rows
 
 # Class order is part of the jit signature.
 CLASS_NAMES = ("const", "verbatim", "fixed", "lpc", "lpc_wide")
