@@ -156,7 +156,31 @@ def test_device_decode_detects_corruption(corpus):
         dd.to_host()
 
 
-def test_lpc2_kernel_interpret_matches_scan():
+def test_device_decode_mutation_robustness(corpus):
+    """Byte-mutation fuzz over the decode_to_device orchestration
+    (chunk scanning, parallel ranges, spec unification, stop
+    semantics): every mutated stream must decline (None), raise a
+    typed FlacError, or decode — and if it decodes with verify_md5,
+    either match the stream MD5 or raise InvalidChecksum. Never an
+    untyped crash."""
+    from zflac_tpu.errors import FlacError
+
+    data, *_ = corpus["lpc order 8"]
+    rng = np.random.default_rng(77)
+    arr = np.frombuffer(data, dtype=np.uint8).copy()
+    for i in range(40):
+        mutated = arr.copy()
+        n_flips = int(rng.integers(1, 4))
+        idx = rng.integers(0, len(arr), size=n_flips)
+        mutated[idx] ^= rng.integers(1, 256, size=n_flips).astype(
+            np.uint8)
+        try:
+            dd = zflac_tpu.decode_to_device(bytes(mutated),
+                                            scan_workers=2)
+            if dd is not None:
+                dd.to_host(verify_md5=True)
+        except FlacError:
+            pass
     """Transposed-form Pallas LPC kernel (interpret mode) == the XLA
     scan reference across random orders/shifts."""
     import jax
