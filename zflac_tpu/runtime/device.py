@@ -16,9 +16,10 @@ Phases (SURVEY.md §7):
      order-bucketed LPC recurrence, fixed orders integrate as masked
      cumsums, then wasted-bits/decorrelation/container wrap.
 
-Chunks share static geometry (Fp/Bp/W pinned by the first chunk), so
-the stream compiles once; scan, transfer, and compute overlap across
-chunks (dispatch is asynchronous).
+Chunks share one static geometry (a union re-scan unifies the spec
+when natural chunk geometries diverge), so the stream compiles once;
+the scan parallelizes across anchor-split byte ranges and transfer /
+compute overlap across chunks (dispatch is asynchronous).
 
 Bit-exactness: every chunk's PCM equals the reference semantics
 (differential tests vs the native engine and the oracle,
