@@ -46,3 +46,17 @@ def test_stream_decode_normalized():
     from zflac_tpu.runtime.decode import stream_decode
     out = np.concatenate(list(stream_decode(data, chunk_frames=2)))
     np.testing.assert_array_equal(out, expected_output(pcm, 12))
+
+
+def test_pipelined_unknown_total_still_chunks():
+    """omit_total_samples streams must still pipeline in multiple
+    chunks: the chunk-bytes estimate probe-scans instead of trusting
+    STREAMINFO total (which previously collapsed to one giant chunk,
+    losing the host/device overlap)."""
+    pcm = correlated_stereo(32 * 1024, 16, seed=34)
+    data = encode(pcm, 44100, 16,
+                  EncoderConfig(block_size=1024,
+                                omit_total_samples=True))
+    r = decode_pipelined(data, chunk_frames=8)
+    assert r.stats["chunks"] > 1
+    np.testing.assert_array_equal(r.interleaved, expected_output(pcm, 16))

@@ -159,6 +159,23 @@ def _assemble(plan: StreamPlan, pcm: np.ndarray) -> np.ndarray:
     return out
 
 
+def _chunk_bytes_estimate(data: bytes, pos: int, info,
+                          chunk_frames: int) -> int:
+    """Bytes per pipeline chunk for ~chunk_frames frames. Does not
+    trust STREAMINFO total_samples (legal streams may declare 0, which
+    previously collapsed the estimate to one giant chunk and killed
+    the host/device overlap): unknown totals use the probe-scan frame
+    estimate (parallel/shard.estimate_total_frames)."""
+    if info.total_samples:
+        nominal = max(info.max_block_size, 1)
+        total_frames = max(1, -(-info.total_samples // nominal))
+    else:
+        from ..parallel.shard import estimate_total_frames
+        total_frames = estimate_total_frames(data, pos, info) or 1
+    return max(1 << 16,
+               (len(data) - pos) * chunk_frames // total_frames)
+
+
 def decode_pipelined(data: bytes, chunk_frames: int = 64,
                      verify_md5: bool = True) -> DecodedFLAC:
     """Pipeline-parallel decode (the PP axis of SURVEY.md §2.3): the
@@ -176,11 +193,7 @@ def decode_pipelined(data: bytes, chunk_frames: int = 64,
     br = BitReader(data)
     info = parse_metadata(br)
     pos = br.pos // 8
-    # Estimate bytes per chunk from the stream size / nominal frames.
-    nominal = max(info.max_block_size, 1)
-    total_frames = max(1, -(-max(info.total_samples, 1) // nominal))
-    chunk_bytes = max(1 << 16,
-                      (len(data) - pos) * chunk_frames // total_frames)
+    chunk_bytes = _chunk_bytes_estimate(data, pos, info, chunk_frames)
 
     launched = []  # (plan, device_pcm, F)
     while pos < len(data):
@@ -244,10 +257,7 @@ def stream_decode(data: bytes, chunk_frames: int = 64):
         yield r.interleaved
         return
 
-    nominal = max(info.max_block_size, 1)
-    total_frames = max(1, -(-max(info.total_samples, 1) // nominal))
-    chunk_bytes = max(1 << 16,
-                      (len(data) - pos) * chunk_frames // total_frames)
+    chunk_bytes = _chunk_bytes_estimate(data, pos, info, chunk_frames)
 
     pending = None  # (plan, device array, F)
     while pos < len(data):
