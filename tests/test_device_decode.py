@@ -156,6 +156,27 @@ def test_device_decode_detects_corruption(corpus):
         dd.to_host()
 
 
+@pytest.mark.parametrize("name", ["lpc order 8", "variable blocksize",
+                                  "bps 24", "channels 5"])
+def test_interleaved_device_matches_host(name, corpus):
+    """The on-device assembly surface (DeviceDecoded.interleaved_device)
+    equals the host assembly for constant AND variable blocking, in
+    both normalization domains."""
+    data, *_ = corpus[name]
+    dd = zflac_tpu.decode_to_device(data)
+    assert dd is not None
+    host = dd.to_host()
+    dev = np.asarray(dd.interleaved_device())
+    assert dev.shape == (host.num_samples, host.channels)
+    np.testing.assert_array_equal(dev.reshape(-1), host.interleaved)
+    from zflac_tpu import format as fmt
+    sh = fmt.normalization_shift(host.bits_per_sample)
+    raw = np.asarray(dd.interleaved_device(normalized=False))
+    np.testing.assert_array_equal(
+        raw.reshape(-1) << sh if sh else raw.reshape(-1),
+        host.interleaved)
+
+
 def test_device_decode_mutation_robustness(corpus):
     """Byte-mutation fuzz over the decode_to_device orchestration
     (chunk scanning, parallel ranges, spec unification, stop

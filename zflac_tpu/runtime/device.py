@@ -443,6 +443,43 @@ class DeviceDecoded:
             c.block_until_ready()
         return self
 
+    def interleaved_device(self, normalized: bool = True):
+        """Assemble the decoded stream as ONE device-resident array
+        [total_samples, C] (container dtype) — the consumer surface
+        for on-device pipelines (feature extraction, training input):
+        no decoded-PCM round trip through host RAM. Constant-blocksize
+        streams (every frame but possibly the last full, i.e. the
+        overwhelmingly common case) assemble with pure slices/reshapes
+        and one device concat; ragged variable-blocking streams gather
+        frame rows by a precomputed index (one gather). `normalized`
+        applies the container-MSB shift (zflac.zig:287-306; leave
+        False for the MD5/pre-normalization domain)."""
+        C = self.channels
+        parts = []
+        for pcm_dev, F, bs in zip(self.chunks, self.num_frames,
+                                  self.block_sizes):
+            if F == 0:
+                continue
+            if np.all(bs == bs[0]):
+                n = int(bs.sum())
+                part = pcm_dev[:F, :bs[0], :].reshape(-1, C)[:n]
+                parts.append(part)
+            else:
+                Bp = pcm_dev.shape[1]
+                idx = np.concatenate(
+                    [f * Bp + np.arange(b) for f, b in enumerate(bs)])
+                parts.append(
+                    pcm_dev.reshape(-1, C)[jnp.asarray(idx)])
+        if parts:
+            out = jnp.concatenate(parts, axis=0)
+        else:
+            dtype = container_dtype(self.bits_per_sample)
+            out = jnp.zeros((0, C), dtype=dtype)
+        shift = fmt.normalization_shift(self.bits_per_sample)
+        if normalized and shift:
+            out = out << shift
+        return out
+
     def to_host(self, verify_md5: bool = True) -> DecodedFLAC:
         """Assemble interleaved host PCM (the reference's output
         contract, including MD5 verification and bit-depth
